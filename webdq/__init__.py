@@ -1,0 +1,27 @@
+"""webdq — PySpark-native web-document quality-filter engine.
+
+Re-expresses the feature-extraction → normalization → PCA → KMeans →
+per-record quality-label core of Oslandia/osm-data-classification
+(reference at /root/reference, surveyed in SURVEY.md) as an idiomatic
+Spark DataFrame pipeline over Common-Crawl-style pages
+(url, warc_ts, html, text, lang).
+
+Modules
+-------
+session    SparkSession builder with scale-oriented defaults
+schema     every stage-boundary StructType (SURVEY.md §1.3)
+synth      deterministic synthetic pages generator (FIXTURES.md §B1)
+textstats  heuristic feature extraction, pure Spark expressions (§2.7)
+scorers    Arrow pandas UDFs: langid, hashed n-gram perplexity (§2.9)
+scrub      regex PII/toxicity scrubbing, native expressions
+normalize  ratio / temporal / ECDF / min-max normalization (§2.4-2.5, M1)
+ml         covariance+eig, auto-PCA, DataFrame-native KMeans, elbow (M2-M8)
+label      cluster → keep/drop mapping + broadcast label join (M9/J6)
+pipeline   checkpointed resumable stages + lineage/metrics (§2.10, §4)
+dedup      exact / MinHash-LSH / SimHash / n-gram-Jaccard / embedding dedup
+similarity brute-force + LSH-bucketed cosine top-k ANN
+multimodal binary-column (image/audio) plumbing with stubbed decoders
+oracle     driver-side pandas/numpy reference implementation (tests)
+"""
+
+__version__ = "0.1.0"

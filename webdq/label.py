@@ -1,0 +1,56 @@
+"""Cluster → keep/drop labeling (reference M9/J6).
+
+The reference labels each element by joining its contributors' cluster
+ids and declaring quality "good if the last contributor is in an
+experienced-user cluster" (/root/reference/osmdq/utils.py:332-341;
+article7:118-130) — i.e. a tiny cluster→verdict map joined broadcast
+onto the big table. Here: clusters are ranked by a fixed quality
+composite of their centroid coordinates and the top ``keep_top``
+clusters are kept.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Weights over (min-max-scaled) feature columns. Positive = quality
+# signal, negative = junk signal. Unknown columns weigh 0.
+QUALITY_WEIGHTS: dict[str, float] = {
+    "stopword_ratio": 1.0,
+    "lang_match": 1.0,
+    "langid_conf": 1.0,
+    "u_perplexity": -1.0,
+    "perplexity": -1.0,
+    "symbol_ratio": -1.0,
+    "digit_ratio": -1.0,
+    "dup_word_ratio": -1.0,
+    "dup_5gram_ratio": -1.0,
+}
+
+
+def cluster_scores(centers: np.ndarray, cols: list[str]) -> np.ndarray:
+    w = np.array([QUALITY_WEIGHTS.get(c, 0.0) for c in cols])
+    return centers @ w
+
+
+def keep_map(centers: np.ndarray, cols: list[str], keep_top: int = 1) -> dict[int, bool]:
+    """Rank clusters by composite centroid quality; keep the best
+    ``keep_top``. Ties broken by cluster id (deterministic)."""
+    s = cluster_scores(centers, cols)
+    order = sorted(range(len(s)), key=lambda j: (-s[j], j))
+    kept = set(order[:keep_top])
+    return {j: j in kept for j in range(len(s))}
+
+
+def attach_labels(
+    spark: SparkSession, df: DataFrame, centers: np.ndarray, cols: list[str], keep_top: int = 1
+) -> DataFrame:
+    """Broadcast-join the k-row cluster→keep map onto the big table —
+    the J6 small-dimension lookup join, hinted broadcast."""
+    km = keep_map(centers, cols, keep_top)
+    dim = spark.createDataFrame(
+        [(int(j), bool(v)) for j, v in km.items()], schema="cluster int, keep boolean"
+    )
+    return df.join(F.broadcast(dim), on="cluster", how="left").na.fill({"keep": False})

@@ -1,0 +1,300 @@
+"""ML core: variance analysis, auto-PCA, KMeans, elbow (SURVEY.md §2.8).
+
+Design: the per-row math stays JVM-side as Catalyst expressions; only
+k×d / d×d matrices ever reach the driver.
+
+- Covariance is ONE distributed aggregation (sums + cross-products,
+  d(d+1)/2 expressions with map-side partial aggregation) → numpy
+  ``eigh`` on the driver (d ≈ 13, trivial). Reference analog:
+  /root/reference/osmdq/unsupervised_learning.py:25-53 (np.cov + eig).
+- PCA projection = centered dot-product expressions (no VectorUDT, no
+  Python): survives whole-stage codegen.
+- KMeans = k-means++ on a deterministic hash-ordered sample (driver,
+  MiniBatch-style pre-fit) + distributed Lloyd refinement where each
+  iteration is one groupBy aggregation of k×(d+1) partials.
+  Reference analog: sklearn KMeans n_init=100
+  (/root/reference/osmdq/analysis_tasks.py:744-745); determinism here
+  comes from the hash-ordered init sample instead of RNG restarts.
+- auto-PCA components / elbow rules re-express
+  /root/reference/osmdq/unsupervised_learning.py:55-82,146-159,405-428.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- minmax
+
+def column_minmax(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, float]]:
+    """One aggregation: (min, max) per column. Reference M1 'RobustScaler
+    (0,100) == MinMax' (/root/reference/osmdq/analysis_tasks.py:470-471)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    return {c: (float(row[f"mn_{c}"] or 0.0), float(row[f"mx_{c}"] or 0.0)) for c in cols}
+
+
+def minmax_scale(df: DataFrame, cols: list[str], stats: dict[str, tuple[float, float]] | None = None) -> DataFrame:
+    stats = stats or column_minmax(df, cols)
+    out = {}
+    for c in cols:
+        mn, mx = stats[c]
+        if mx - mn == 0.0:
+            out[c] = F.lit(0.0)
+        else:
+            out[c] = (F.col(c) - F.lit(mn)) / F.lit(mx - mn)
+    return df.withColumns(out)
+
+
+# ------------------------------------------------------------ covariance
+
+def covariance(df: DataFrame, cols: list[str]) -> tuple[np.ndarray, np.ndarray, int]:
+    """(mean vector, sample covariance ddof=1, n) in one pass."""
+    d = len(cols)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    aggs += [F.sum(F.col(c)).alias(f"s_{i}") for i, c in enumerate(cols)]
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(F.col(cols[i]) * F.col(cols[j])).alias(f"xp_{i}_{j}"))
+    row = df.agg(*aggs).collect()[0]
+    n = int(row["_n"])
+    s = np.array([float(row[f"s_{i}"] or 0.0) for i in range(d)])
+    mean = s / max(n, 1)
+    cov = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            xp = float(row[f"xp_{i}_{j}"] or 0.0)
+            cij = (xp - n * mean[i] * mean[j]) / max(n - 1, 1)
+            cov[i, j] = cov[j, i] = cij
+    return mean, cov, n
+
+
+@dataclass
+class PCAModel:
+    cols: list[str]
+    mean: np.ndarray  # (d,)
+    loadings: np.ndarray  # (d, k), sign-normalized
+    eigvals: np.ndarray  # (d,) all of them, descending
+
+
+def pca_variance(eigvals: np.ndarray) -> dict[str, np.ndarray]:
+    """eig / varexp(%) / cumvar(%) — reference compute_pca_variance."""
+    eig = np.sort(np.asarray(eigvals))[::-1]
+    tot = eig.sum()
+    varexp = (eig / tot) * 100.0 if tot > 0 else np.zeros_like(eig)
+    return {"eig": eig, "varexp": varexp, "cumvar": np.cumsum(varexp)}
+
+
+def optimal_pca_components(
+    variance: dict[str, np.ndarray], nb_min_dim: int, nb_max_dim: int, standard_norm: bool = False
+) -> int:
+    """Smallest i+1 with cumvar>70% (eig<1 rule when standard-normalized),
+    clamped — reference optimal_PCA_components semantics."""
+    candidate = 0
+    for i in range(len(variance["eig"])):
+        if (standard_norm and variance["eig"][i] < 1) or variance["cumvar"][i] > 70:
+            candidate = i + 1
+            break
+    return min(max(candidate, nb_min_dim), nb_max_dim)
+
+
+def fit_pca(df: DataFrame, cols: list[str], n_components: int = 0, kmin: int = 2, kmax: int = 12) -> PCAModel:
+    """Eigendecomposition of the feature covariance. n_components=0 →
+    automatic selection (the reference's AutoPCA,
+    /root/reference/osmdq/analysis_tasks.py:564-635)."""
+    mean, cov, _ = covariance(df, cols)
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+    if n_components <= 0:
+        n_components = optimal_pca_components(pca_variance(w), kmin, min(kmax, len(cols)))
+    L = v[:, :n_components].copy()
+    # Eigenvector sign is arbitrary (SURVEY.md §7.3 item 2): force the
+    # max-|loading| entry of each component positive.
+    for j in range(L.shape[1]):
+        i = int(np.argmax(np.abs(L[:, j])))
+        if L[i, j] < 0:
+            L[:, j] = -L[:, j]
+    return PCAModel(cols=list(cols), mean=mean, loadings=L, eigvals=w)
+
+
+def pca_project(df: DataFrame, model: PCAModel, prefix: str = "pc_") -> DataFrame:
+    """Append pc_0..pc_{k-1} — centered dot products, pure expressions."""
+    out = {}
+    for j in range(model.loadings.shape[1]):
+        expr: Column = F.lit(0.0)
+        for i, c in enumerate(model.cols):
+            expr = expr + (F.col(c) - F.lit(float(model.mean[i]))) * F.lit(float(model.loadings[i, j]))
+        out[f"{prefix}{j}"] = expr
+    return df.withColumns(out)
+
+
+# ---------------------------------------------------------------- kmeans
+
+def _dist_array(cols: list[str], centers: np.ndarray) -> Column:
+    dists = []
+    for c in centers:
+        expr: Column = F.lit(0.0)
+        for i, col in enumerate(cols):
+            diff = F.col(col) - F.lit(float(c[i]))
+            expr = expr + diff * diff
+        dists.append(expr)
+    return F.array(*dists)
+
+
+def kmeans_assign(df: DataFrame, cols: list[str], centers: np.ndarray, out: str = "cluster") -> DataFrame:
+    """Nearest-centroid assignment as an expression (argmin over the
+    squared-distance array; ties → lowest cluster id, deterministic)."""
+    darr = _dist_array(cols, centers)
+    return df.withColumn(out, (F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
+
+
+def _kmeanspp_init(X: np.ndarray, k: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    n = X.shape[0]
+    centers = [X[rng.randint(n)]]
+    for _ in range(1, k):
+        d2 = np.min(((X[:, None, :] - np.array(centers)[None, :, :]) ** 2).sum(-1), axis=1)
+        tot = d2.sum()
+        if tot <= 0:
+            centers.append(X[rng.randint(n)])
+            continue
+        centers.append(X[np.searchsorted(np.cumsum(d2 / tot), rng.rand())])
+    return np.array(centers)
+
+
+def _lloyd_numpy(X: np.ndarray, centers: np.ndarray, max_iter: int = 100, tol: float = 1e-7) -> np.ndarray:
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        lab = d2.argmin(1)
+        new = np.array([X[lab == j].mean(0) if (lab == j).any() else centers[j] for j in range(len(centers))])
+        shift = float(((new - centers) ** 2).sum())
+        centers = new
+        if shift < tol:
+            break
+    return centers
+
+
+@dataclass
+class KMeansModel:
+    cols: list[str]
+    centers: np.ndarray  # (k, d)
+    inertia: float
+    iterations: int
+
+
+def kmeans_fit(
+    df: DataFrame,
+    cols: list[str],
+    k: int,
+    key_col: str,
+    max_iter: int = 25,
+    tol: float = 1e-8,
+    init_sample: int = 4096,
+    n_init: int = 10,
+    seed: int = 42,
+) -> KMeansModel:
+    """Deterministic distributed KMeans.
+
+    1. Take the ``init_sample`` rows with smallest xxhash64(key) — a
+       deterministic, order/partition-independent pseudo-random sample
+       (distributed TopK, no global sort).
+    2. On the driver: ``n_init`` k-means++ restarts + Lloyd on the
+       sample; keep the lowest-inertia centers (the reference's
+       sklearn n_init=100 semantics at sample scale).
+    3. Distributed Lloyd refinement: each iteration = one hash
+       aggregation producing k×(d+1) partial sums.
+    """
+    samp = (
+        df.select(F.xxhash64(F.col(key_col)).alias("_h"), *cols)
+        .orderBy("_h")
+        .limit(init_sample)
+        .drop("_h")
+        .collect()
+    )
+    X = np.array([[float(r[c]) for c in cols] for r in samp])
+    best, best_cost = None, math.inf
+    for t in range(n_init):
+        c0 = _kmeanspp_init(X, k, seed + t)
+        c = _lloyd_numpy(X, c0)
+        cost = float(((X[:, None, :] - c[None, :, :]) ** 2).sum(-1).min(1).sum())
+        if cost < best_cost:
+            best, best_cost = c, cost
+    centers = best
+
+    it = 0
+    for it in range(1, max_iter + 1):
+        assigned = kmeans_assign(df, cols, centers, out="_c")
+        rows = (
+            assigned.groupBy("_c")
+            .agg(F.count(F.lit(1)).alias("_n"), *[F.sum(c).alias(f"s_{i}") for i, c in enumerate(cols)])
+            .collect()
+        )
+        new = centers.copy()
+        for r in rows:
+            j = int(r["_c"])
+            n = float(r["_n"])
+            if n > 0:
+                new[j] = np.array([float(r[f"s_{i}"]) / n for i in range(len(cols))])
+        shift = float(((new - centers) ** 2).sum())
+        centers = new
+        if shift < tol:
+            break
+
+    inert = inertia(df, cols, centers)
+    return KMeansModel(cols=list(cols), centers=centers, inertia=inert, iterations=it)
+
+
+def inertia(df: DataFrame, cols: list[str], centers: np.ndarray) -> float:
+    """Within-cluster sum of squares — reference compute_nb_clusters'
+    inertia (/root/reference/osmdq/unsupervised_learning.py:425)."""
+    darr = _dist_array(cols, centers)
+    row = df.agg(F.sum(F.array_min(darr)).alias("i")).collect()[0]
+    return float(row["i"] or 0.0)
+
+
+def elbow_derivation(elbow: list[float]) -> list[float]:
+    """Discrete 2nd derivative, reference elbow_derivation semantics."""
+    out = [0.0]
+    for i in range(1, len(elbow) - 1):
+        out.append(elbow[i + 1] + elbow[i - 1] - 2 * elbow[i])
+    return out
+
+
+def compute_nb_clusters(inertias: list[float], nbmin_clusters: int) -> int:
+    """argmax of the elbow 2nd derivative + kmin — reference
+    compute_nb_clusters (/root/reference/osmdq/unsupervised_learning.py:405-428)."""
+    d = elbow_derivation(inertias)
+    return nbmin_clusters + d.index(max(d))
+
+
+def silhouette_sampled(df: DataFrame, cols: list[str], cluster_col: str, key_col: str, sample_n: int = 2000) -> float:
+    """Diagnostic sampled silhouette (reference caps at 2000 rows,
+    /root/reference/osmdq/unsupervised_learning.py:22). Deterministic
+    hash-ordered sample; numpy on the driver."""
+    samp = (
+        df.select(F.xxhash64(F.col(key_col)).alias("_h"), F.col(cluster_col).alias("_c"), *cols)
+        .orderBy("_h")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.array([[float(r[c]) for c in cols] for r in samp])
+    lab = np.array([int(r["_c"]) for r in samp])
+    if len(np.unique(lab)) < 2:
+        return float("nan")
+    d = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    s_vals = []
+    for i in range(len(X)):
+        same = lab == lab[i]
+        same[i] = False
+        a = d[i][same].mean() if same.any() else 0.0
+        b = min(d[i][lab == other].mean() for other in np.unique(lab) if other != lab[i])
+        s_vals.append((b - a) / max(a, b) if max(a, b) > 0 else 0.0)
+    return float(np.mean(s_vals))

@@ -1,0 +1,131 @@
+"""Normalization: ratio features, ECDF, min-max (SURVEY.md §2.4/2.5/2.7).
+
+Reference semantics being preserved:
+- ratio-of-total (F5): /root/reference/osmdq/utils.py:784-798
+- ECDF u_* columns (W5): /root/reference/osmdq/utils.py:521-541 —
+  ECDF(x) = P(X <= x), i.e. SQL ``cume_dist`` over a global order.
+- min-max (M1): webdq.ml.minmax_scale.
+
+Scale note (the part that matters at 10^12 rows): a naive
+``cume_dist() OVER (ORDER BY x)`` is a single-partition global sort.
+``ecdf`` below is EXACT and parallel: a one-pass ``percentile_approx``
+sketch picks ~``n_buckets`` range-bucket boundaries per feature, rows
+get a bucket id with a pure expression, per-bucket cumulative offsets
+(≤ n_buckets × n_features rows) are computed with one tiny aggregation
+and broadcast back as a literal map, and the within-bucket "count of
+rows ≤ x" is a RANGE-frame window partitioned BY BUCKET — every
+partition sorts independently. ECDF = (offset + within) / N, an exact
+integer ratio. All features are normalized in ONE shuffle by melting
+to long format first (SURVEY.md §4 "one shuffle serves all windows").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ratio_normalize(df: DataFrame, cols: list[str], total_col: str, prefix: str = "r_") -> DataFrame:
+    """c / total with 0-when-empty (reference normalize_features,
+    /root/reference/osmdq/utils.py:784-798)."""
+    out = {}
+    for c in cols:
+        out[prefix + c.removeprefix("n_")] = F.when(
+            F.col(total_col) != 0, F.col(c) / F.col(total_col)
+        ).otherwise(F.lit(0.0))
+    return df.withColumns(out)
+
+
+def ecdf_naive(df: DataFrame, cols: list[str], prefix: str = "u_") -> DataFrame:
+    """cume_dist over a global window — correct, but single-partition
+    sort per column. Kept as the small-data reference implementation
+    that ``ecdf`` is tested against."""
+    out = df
+    for c in cols:
+        out = out.withColumn(prefix + c.removeprefix("n_"), F.cume_dist().over(Window.orderBy(F.col(c))))
+    return out
+
+
+def ecdf(
+    df: DataFrame,
+    cols: list[str],
+    key_col: str,
+    prefix: str = "u_",
+    n_buckets: int = 64,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """Exact, parallel ECDF for every column in ``cols`` (see module
+    docstring). Output column name: ``prefix + col`` (n_ stripped,
+    matching the reference's n_* → u_* renaming convention,
+    /root/reference/osmdq/utils.py:540-541)."""
+    # 1. approximate bucket boundaries, one pass over the wide table
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    brow = df.agg(
+        *[F.percentile_approx(F.col(c), qs, int(1 / rel_err)).alias(c) for c in cols]
+    ).collect()[0]
+    bounds = {c: sorted(set(float(x) for x in (brow[c] or []))) for c in cols}
+
+    # 2. melt to long: one row per (key, feature, value)
+    stack_expr = ", ".join(f"'{c}', `{c}`" for c in cols)
+    long = df.select(
+        F.col(key_col).alias("_k"),
+        F.expr(f"stack({len(cols)}, {stack_expr}) as (_f, _v)"),
+    )
+
+    # 3. bucket id = #boundaries strictly below value (expression only).
+    #    Equal values always land in the same bucket.
+    bmap = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in cols]),
+        F.array(*[F.array(*[F.lit(b) for b in bounds[c]]) for c in cols]),
+    )
+    long = long.withColumn("_b", F.size(F.filter(F.element_at(bmap, F.col("_f")), lambda b: b < F.col("_v"))))
+
+    # 4. per-(feature,bucket) counts -> cumulative offsets (tiny; driver)
+    counts = long.groupBy("_f", "_b").count().collect()
+    per_feat: dict[str, dict[int, int]] = {}
+    n_total: dict[str, int] = {}
+    for r in counts:
+        per_feat.setdefault(r["_f"], {})[int(r["_b"])] = int(r["count"])
+    offsets: dict[str, int] = {}
+    for f_name, bc in per_feat.items():
+        n_total[f_name] = sum(bc.values())
+        acc = 0
+        for b in sorted(bc):
+            offsets[f"{f_name}#{b}"] = acc
+            acc += bc[b]
+    omap = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in offsets]),
+        F.array(*[F.lit(v) for v in offsets.values()]),
+    )
+    nmap = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in n_total]),
+        F.array(*[F.lit(v) for v in n_total.values()]),
+    )
+
+    # 5. within-bucket count of rows with value <= current: RANGE frame
+    w = (
+        Window.partitionBy("_f", "_b")
+        .orderBy(F.col("_v"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    long = long.withColumn(
+        "_ecdf",
+        (
+            F.coalesce(F.element_at(omap, F.concat(F.col("_f"), F.lit("#"), F.col("_b").cast("string"))), F.lit(0))
+            + F.count(F.lit(1)).over(w)
+        ).cast("double")
+        / F.element_at(nmap, F.col("_f")).cast("double"),
+    )
+
+    # 6. pivot back to wide and join on the key (both sides already
+    #    hash-partitioned by _k/key after the pivot shuffle)
+    wide = (
+        long.groupBy("_k")
+        .pivot("_f", cols)
+        .agg(F.first("_ecdf"))
+        .select(
+            F.col("_k"),
+            *[F.col(c).alias(prefix + c.removeprefix("n_")) for c in cols],
+        )
+    )
+    return df.join(wide, on=df[key_col] == wide["_k"], how="inner").drop("_k")

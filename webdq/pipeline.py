@@ -1,0 +1,206 @@
+"""End-to-end quality-filter pipeline with checkpointed, resumable stages.
+
+The reference's Luigi DAG gives file-level incrementality: a task whose
+output file exists is skipped (/root/reference/osmdq/analysis_tasks.py:36-43
+idiom, every task). Re-expressed here: every stage optionally writes a
+parquet stage table under ``workdir``; on re-run a stage whose output
+exists is READ instead of recomputed — same resume semantics, no Luigi.
+Each checkpointed stage also appends per-partition lineage rows and a
+metrics row (north rule: "resumable from checkpoint with per-partition
+lineage + metrics").
+
+Stage graph (reference pipeline traced in SURVEY.md §3.1):
+    pages
+      → features     (heuristics: pure exprs; langid/perplexity: Arrow UDFs;
+                      scrubbed_text; salted repartition first — host skew)
+      → normalized   (ECDF u_* + ratio features; bucketed-parallel exact ECDF)
+      → clustered    (min-max scale → covariance/eig PCA → KMeans → cluster)
+      → labels       (broadcast cluster→keep join + url, scrubbed_text)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import label as label_mod
+from . import ml, normalize, scorers, textstats
+from .scrub import scrub
+
+# Features fed to scaling → PCA → KMeans. pii_hits is deliberately
+# excluded (PII occurs uniformly across tiers; it informs scrubbing,
+# not quality).
+CLUSTER_FEATURES = [
+    "u_chars",
+    "u_words",
+    "u_word_len",
+    "u_perplexity",
+    "stopword_ratio",
+    "symbol_ratio",
+    "digit_ratio",
+    "upper_ratio",
+    "dup_word_ratio",
+    "dup_5gram_ratio",
+    "langid_conf",
+    "lang_match",
+]
+
+ECDF_FEATURES = ["n_chars", "n_words", "mean_word_len", "perplexity"]
+
+
+@dataclass
+class PipelineConfig:
+    workdir: str | None = None  # None → fully lazy, no checkpoints
+    k: int = 5
+    pca_components: int = 0  # 0 → auto (cumvar > 70%)
+    pca_kmin: int = 2
+    pca_kmax: int = 8
+    keep_top: int = 1
+    salt_partitions: int | None = None  # None → leave to AQE
+    kmeans_max_iter: int = 25
+    kmeans_init_sample: int = 4096
+    seed: int = 42
+    extra: dict = field(default_factory=dict)
+
+
+class StageRunner:
+    """Luigi-style stage memoization + lineage/metrics bookkeeping."""
+
+    def __init__(self, spark: SparkSession, workdir: str | None):
+        self.spark = spark
+        self.workdir = workdir
+        self.metrics: list[dict] = []
+
+    def _path(self, name: str) -> str:
+        assert self.workdir
+        return os.path.join(self.workdir, name)
+
+    def exists(self, name: str) -> bool:
+        return bool(self.workdir) and os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
+
+    def run(self, name: str, build) -> DataFrame:
+        """Return the stage DataFrame; if checkpointing is on, write it
+        once and read it back (true barrier = resume point)."""
+        if not self.workdir:
+            return build()
+        if self.exists(name):
+            self.metrics.append({"stage": name, "skipped": True})
+            return self.spark.read.parquet(self._path(name))
+        t0 = time.time()
+        df = build()
+        df.write.mode("overwrite").parquet(self._path(name))
+        out = self.spark.read.parquet(self._path(name))
+        # per-partition lineage: rows per output partition
+        lin = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .withColumn("stage", F.lit(name))
+            .select("stage", "partition_id", "rows")
+        )
+        lin.write.mode("append").parquet(os.path.join(self.workdir, "_lineage"))
+        parts = lin.agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum("rows").alias("rows"),
+            (F.max("rows") / F.avg("rows")).alias("skew"),
+        ).collect()[0]
+        self.metrics.append(
+            {
+                "stage": name,
+                "wall_ms": int((time.time() - t0) * 1000),
+                "rows_out": int(parts["rows"] or 0),
+                "partitions": int(parts["np"]),
+                "skew_max_over_mean": float(parts["skew"] or 0.0),
+            }
+        )
+        return out
+
+    def flush_metrics(self) -> None:
+        if not self.workdir or not self.metrics:
+            return
+        with open(os.path.join(self.workdir, "metrics.json"), "w") as f:
+            json.dump(self.metrics, f, indent=2)
+
+
+def extract_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """pages → per-document features + scrubbed text. The salted
+    repartition by url-hash breaks host-level input skew BEFORE the
+    Arrow-UDF stage (north rule; hosts on a web corpus are
+    heavy-tailed, xxhash64(url) is uniform)."""
+    if cfg.salt_partitions:
+        df = df.repartition(cfg.salt_partitions, F.xxhash64("url", F.lit(cfg.seed)))
+    df = textstats.heuristic_features(df)
+    df = scorers.model_features(df)
+    df = scrub(df)
+    return df.drop("html")
+
+
+def normalize_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    df = normalize.ecdf(df, ECDF_FEATURES, key_col="url", prefix="u_")
+    # reference naming: u_chars not u_n_chars (utils.py:540-541 strips n_)
+    return df
+
+
+def cluster_documents(df: DataFrame, cfg: PipelineConfig):
+    """min-max → PCA (auto-k) → KMeans. Returns (clustered df, models)."""
+    feats = [c for c in CLUSTER_FEATURES if c in df.columns]
+    stats = ml.column_minmax(df, feats)
+    scaled = ml.minmax_scale(df, feats, stats)
+    pca = ml.fit_pca(scaled, feats, n_components=cfg.pca_components, kmin=cfg.pca_kmin, kmax=cfg.pca_kmax)
+    proj = ml.pca_project(scaled, pca)
+    pc_cols = [f"pc_{j}" for j in range(pca.loadings.shape[1])]
+    km = ml.kmeans_fit(
+        proj,
+        pc_cols,
+        k=cfg.k,
+        key_col="url",
+        max_iter=cfg.kmeans_max_iter,
+        init_sample=cfg.kmeans_init_sample,
+        seed=cfg.seed,
+    )
+    out = ml.kmeans_assign(proj, pc_cols, km.centers, out="cluster")
+    return out, feats, stats, pca, km
+
+
+def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """Full pipeline: pages → labels (url, cluster, keep, scrubbed_text)."""
+    cfg = cfg or PipelineConfig()
+    runner = StageRunner(spark, cfg.workdir)
+
+    feats_df = runner.run("features", lambda: extract_features(pages, cfg))
+    norm_df = runner.run("normalized", lambda: normalize_features(feats_df, cfg))
+
+    clustered, feats, stats, pca, km = cluster_documents(norm_df, cfg)
+    # quality composite is defined on the scaled feature space → score
+    # centroids in ORIGINAL feature axes by inverse-projecting? No —
+    # rank clusters by the mean scaled features of their members (one
+    # aggregation), which is exact and cheap.
+    scaled_cols = [c for c in feats]
+    centroid_rows = (
+        ml.minmax_scale(clustered, scaled_cols, stats)
+        .groupBy("cluster")
+        .agg(*[F.avg(c).alias(c) for c in scaled_cols])
+        .orderBy("cluster")
+        .collect()
+    )
+    import numpy as np
+
+    k_present = [int(r["cluster"]) for r in centroid_rows]
+    centers = np.array([[float(r[c]) for c in scaled_cols] for r in centroid_rows])
+    km_map = label_mod.keep_map(centers, scaled_cols, cfg.keep_top)
+    dim = spark.createDataFrame(
+        [(k_present[i], bool(km_map[i])) for i in range(len(k_present))],
+        schema="cluster int, keep boolean",
+    )
+    labels = (
+        clustered.join(F.broadcast(dim), on="cluster", how="left")
+        .na.fill({"keep": False})
+        .select("url", "cluster", "keep", "scrubbed_text")
+    )
+    labels = runner.run("labels", lambda: labels)
+    runner.flush_metrics()
+    return labels
