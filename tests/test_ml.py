@@ -1,0 +1,98 @@
+"""ML core vs numpy oracle: covariance, PCA variance rules, KMeans,
+elbow (SURVEY.md §2.8, M2-M7)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from webdq import ml
+
+
+def _blob_df(spark, seed=3, n=300):
+    rng = np.random.RandomState(seed)
+    centers = np.array([[0.0, 0.0, 0.0], [10.0, 10.0, 0.0], [0.0, 10.0, 10.0]])
+    X = np.vstack([c + 0.3 * rng.randn(n, 3) for c in centers])
+    lab = np.repeat([0, 1, 2], n)
+    rows = [(f"k{i}", float(x[0]), float(x[1]), float(x[2]), int(l)) for i, (x, l) in enumerate(zip(X, lab))]
+    return spark.createDataFrame(rows, "key string, a double, b double, c double, truth int"), X, lab
+
+
+def test_covariance_matches_numpy(spark):
+    df, X, _ = _blob_df(spark)
+    mean, cov, n = ml.covariance(df, ["a", "b", "c"])
+    assert n == len(X)
+    np.testing.assert_allclose(mean, X.mean(0), rtol=1e-9)
+    np.testing.assert_allclose(cov, np.cov(X.T), rtol=1e-8)
+
+
+def test_minmax(spark):
+    df, X, _ = _blob_df(spark)
+    out = ml.minmax_scale(df, ["a", "b"]).agg(
+        F.min("a"), F.max("a"), F.min("b"), F.max("b")
+    ).collect()[0]
+    assert list(out) == [0.0, 1.0, 0.0, 1.0]
+
+
+def test_pca_variance_and_auto_k():
+    var = ml.pca_variance(np.array([6.0, 2.0, 1.0, 0.5, 0.5]))
+    np.testing.assert_allclose(var["varexp"][0], 60.0)
+    # cumvar: 60, 80 → smallest i+1 with cumvar>70 is 2
+    assert ml.optimal_pca_components(var, 1, 5) == 2
+    # clamps
+    assert ml.optimal_pca_components(var, 3, 5) == 3
+    assert ml.optimal_pca_components(var, 1, 1) == 1
+    # standard-norm: first eig < 1 at index 3 → min(4, ...)
+    assert ml.optimal_pca_components(var, 1, 5, standard_norm=True) == 2
+
+
+def test_pca_projection_matches_numpy(spark):
+    df, X, _ = _blob_df(spark)
+    model = ml.fit_pca(df, ["a", "b", "c"], n_components=2)
+    got = (
+        ml.pca_project(df, model)
+        .orderBy("key")
+        .select("key", "pc_0", "pc_1")
+        .toPandas()
+        .sort_values("key")
+    )
+    cov = np.cov(X.T)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    v = v[:, order][:, :2]
+    for j in range(2):
+        i = int(np.argmax(np.abs(v[:, j])))
+        if v[i, j] < 0:
+            v[:, j] = -v[:, j]
+    exp = (X - X.mean(0)) @ v
+    keys = sorted(f"k{i}" for i in range(len(X)))
+    exp_by_key = {f"k{i}": exp[i] for i in range(len(X))}
+    exp_sorted = np.array([exp_by_key[k] for k in keys])
+    np.testing.assert_allclose(got[["pc_0", "pc_1"]].to_numpy(), exp_sorted, rtol=1e-7, atol=1e-9)
+
+
+def test_kmeans_recovers_blobs(spark):
+    df, X, lab = _blob_df(spark)
+    km = ml.kmeans_fit(df, ["a", "b", "c"], k=3, key_col="key", init_sample=256)
+    got = ml.kmeans_assign(df, ["a", "b", "c"], km.centers).select("truth", "cluster").collect()
+    # each truth group maps to exactly one cluster
+    m: dict[int, set] = {}
+    for r in got:
+        m.setdefault(r["truth"], set()).add(r["cluster"])
+    assert all(len(v) == 1 for v in m.values())
+    assert len({next(iter(v)) for v in m.values()}) == 3
+    assert km.inertia < 3 * 300 * 3 * 0.3**2 * 3  # loose sanity bound
+
+
+def test_elbow_semantics():
+    # inertia drops sharply then flattens → elbow at the kink
+    inertias = [100.0, 40.0, 12.0, 10.0, 9.0, 8.5]  # k = 2..7
+    assert ml.elbow_derivation(inertias)[0] == 0.0
+    # deriv: [0, 100-80+12... ] argmax picks the kink at k=4 (index 2)
+    k = ml.compute_nb_clusters(inertias, nbmin_clusters=2)
+    assert k == 2 + np.argmax([0.0, 32.0, 26.0, 1.0, 0.5])
+
+
+def test_silhouette(spark):
+    df, _, _ = _blob_df(spark)
+    out = ml.kmeans_assign(df, ["a", "b", "c"], np.array([[0, 0, 0], [10, 10, 0], [0, 10, 10]], dtype=float))
+    s = ml.silhouette_sampled(out, ["a", "b", "c"], "cluster", "key", sample_n=200)
+    assert s > 0.8  # well-separated blobs

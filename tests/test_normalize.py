@@ -1,0 +1,49 @@
+"""ECDF: bucketed-parallel exact implementation == naive cume_dist ==
+pandas/statsmodels semantics (SURVEY.md W5, §7.3)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from webdq import normalize, oracle
+from webdq.synth import generate_pages
+from webdq.textstats import heuristic_features
+
+
+def _ecdf_frames(spark):
+    pages = generate_pages(spark, 500).select("url", "text", "lang")
+    return heuristic_features(pages).select("url", "n_chars", "n_words", "mean_word_len")
+
+
+def test_ecdf_matches_naive_and_pandas(spark):
+    df = _ecdf_frames(spark).cache()
+    cols = ["n_chars", "n_words", "mean_word_len"]
+    fast = normalize.ecdf(df, cols, key_col="url").toPandas().sort_values("url").reset_index(drop=True)
+    naive = normalize.ecdf_naive(df, cols).toPandas().sort_values("url").reset_index(drop=True)
+    pdf = df.toPandas().sort_values("url").reset_index(drop=True)
+    for c in cols:
+        out = "u_" + c.removeprefix("n_")
+        np.testing.assert_allclose(fast[out], naive[out], rtol=1e-12, err_msg=out)
+        np.testing.assert_allclose(fast[out], oracle.ecdf_pd(pdf[c].to_numpy()), rtol=1e-12, err_msg=out)
+
+
+def test_ecdf_properties(spark):
+    """Monotone in the value, range (0, 1], max == 1 (SURVEY.md §5.2.5)."""
+    df = _ecdf_frames(spark)
+    out = normalize.ecdf(df, ["n_chars"], key_col="url").toPandas().sort_values("n_chars")
+    u = out["u_chars"].to_numpy()
+    assert (np.diff(u) >= -1e-12).all()
+    assert u.min() > 0 and abs(u.max() - 1.0) < 1e-12
+
+
+def test_ecdf_partition_invariance(spark):
+    df = _ecdf_frames(spark)
+    a = normalize.ecdf(df.repartition(1), ["n_words"], key_col="url").toPandas().set_index("url")["u_words"]
+    b = normalize.ecdf(df.repartition(16), ["n_words"], key_col="url").toPandas().set_index("url")["u_words"]
+    assert (a.sort_index() == b.sort_index()).all()
+
+
+def test_ratio_normalize(spark):
+    df = spark.createDataFrame([(2.0, 10.0), (0.0, 0.0)], "n_x double, total double")
+    rows = normalize.ratio_normalize(df, ["n_x"], "total").collect()
+    vals = sorted(r["r_x"] for r in rows)
+    assert vals == [0.0, 0.2]

@@ -1,0 +1,74 @@
+"""End-to-end gates (BASELINE.md targets):
+- keep/drop F1 >= 0.99 vs the independent pandas/numpy oracle
+- byte-identical scrubbed text per url
+- label invariance under partition count
+- checkpoint resume (Luigi semantics re-expressed)
+"""
+
+import numpy as np
+
+from webdq import oracle
+from webdq.pipeline import PipelineConfig, run_pipeline
+from webdq.scrub import scrub_py
+from webdq.synth import TIER_CLEAN, generate_pages
+
+N = 1500
+
+
+def _run(spark, **cfg_kw):
+    pages = generate_pages(spark, N).cache()
+    cfg = PipelineConfig(k=5, kmeans_init_sample=1024, **cfg_kw)
+    labels = run_pipeline(spark, pages.drop("_tier"), cfg)
+    return pages, labels
+
+
+def test_f1_vs_oracle_and_bytes(spark):
+    pages, labels = _run(spark)
+    got = labels.toPandas().sort_values("url").reset_index(drop=True)
+    pdf = pages.select("url", "text", "lang", "_tier").toPandas().sort_values("url").reset_index(drop=True)
+
+    ref = oracle.reference_labels(pdf, k=5, keep_top=1).sort_values("url").reset_index(drop=True)
+    f1 = oracle.f1_score(ref["keep"].to_numpy(), got["keep"].to_numpy())
+    assert f1 >= 0.99, f"engine-vs-oracle keep/drop F1 {f1:.4f} < 0.99"
+
+    # sanity: oracle itself recovers the latent clean tier
+    tier_keep = (pdf["_tier"] == TIER_CLEAN).to_numpy()
+    assert oracle.f1_score(tier_keep, ref["keep"].to_numpy()) >= 0.99
+
+    # byte-identical scrubbed text per url
+    exp_scrub = pdf["text"].map(scrub_py)
+    assert (got["scrubbed_text"].to_numpy() == exp_scrub.to_numpy()).all()
+
+
+def test_partition_invariance(spark):
+    pages = generate_pages(spark, 600).drop("_tier").cache()
+    cfg = PipelineConfig(k=5, kmeans_init_sample=512)
+    a = run_pipeline(spark, pages.repartition(1), cfg).toPandas().set_index("url").sort_index()
+    b = run_pipeline(spark, pages.repartition(13), cfg).toPandas().set_index("url").sort_index()
+    assert (a["keep"] == b["keep"]).all()
+    assert (a["scrubbed_text"] == b["scrubbed_text"]).all()
+
+
+def test_checkpoint_resume(tmp_path, spark):
+    import json
+    import os
+
+    pages = generate_pages(spark, 400).drop("_tier")
+    wd = str(tmp_path / "run1")
+    cfg = PipelineConfig(k=5, kmeans_init_sample=256, workdir=wd)
+    first = run_pipeline(spark, pages, cfg).toPandas().set_index("url").sort_index()
+    with open(os.path.join(wd, "metrics.json")) as f:
+        m1 = {m["stage"]: m for m in json.load(f)}
+    assert not m1["features"].get("skipped")
+    assert m1["features"]["rows_out"] == 400
+    assert os.path.exists(os.path.join(wd, "_lineage"))
+
+    # resume: feeding an EMPTY pages frame must still reproduce the
+    # output because every stage short-circuits to its checkpoint.
+    empty = pages.limit(0)
+    second = run_pipeline(spark, empty, cfg).toPandas().set_index("url").sort_index()
+    with open(os.path.join(wd, "metrics.json")) as f:
+        m2 = {m["stage"]: m for m in json.load(f)}
+    assert m2["features"].get("skipped") and m2["normalized"].get("skipped")
+    assert (first["keep"] == second["keep"]).all()
+    assert (first["scrubbed_text"] == second["scrubbed_text"]).all()

@@ -38,7 +38,7 @@ from .scrub import scrub
 CLUSTER_FEATURES = [
     "u_chars",
     "u_words",
-    "u_word_len",
+    "u_mean_word_len",
     "u_perplexity",
     "stopword_ratio",
     "symbol_ratio",
@@ -58,7 +58,7 @@ class PipelineConfig:
     workdir: str | None = None  # None → fully lazy, no checkpoints
     k: int = 5
     pca_components: int = 0  # 0 → auto (cumvar > 70%)
-    pca_kmin: int = 2
+    pca_kmin: int = 3  # reference clamps auto-k to [3, 12] (BASELINE.md)
     pca_kmax: int = 8
     keep_top: int = 1
     salt_partitions: int | None = None  # None → leave to AQE
@@ -147,7 +147,10 @@ def normalize_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 def cluster_documents(df: DataFrame, cfg: PipelineConfig):
     """min-max → PCA (auto-k) → KMeans. Returns (clustered df, models)."""
-    feats = [c for c in CLUSTER_FEATURES if c in df.columns]
+    missing = [c for c in CLUSTER_FEATURES if c not in df.columns]
+    if missing:
+        raise ValueError(f"cluster feature columns missing from input: {missing}")
+    feats = list(CLUSTER_FEATURES)
     stats = ml.column_minmax(df, feats)
     scaled = ml.minmax_scale(df, feats, stats)
     pca = ml.fit_pca(scaled, feats, n_components=cfg.pca_components, kmin=cfg.pca_kmin, kmax=cfg.pca_kmax)
@@ -170,6 +173,15 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig | No
     """Full pipeline: pages → labels (url, cluster, keep, scrubbed_text)."""
     cfg = cfg or PipelineConfig()
     runner = StageRunner(spark, cfg.workdir)
+
+    # Luigi-style resume: if the terminal stage exists, nothing runs.
+    if runner.exists("labels"):
+        runner.metrics.append({"stage": "labels", "skipped": True})
+        for s in ("features", "normalized"):
+            if runner.exists(s):
+                runner.metrics.append({"stage": s, "skipped": True})
+        runner.flush_metrics()
+        return spark.read.parquet(runner._path("labels"))
 
     feats_df = runner.run("features", lambda: extract_features(pages, cfg))
     norm_df = runner.run("normalized", lambda: normalize_features(feats_df, cfg))
