@@ -65,20 +65,33 @@ def ecdf(
     ).collect()[0]
     bounds = {c: sorted(set(float(x) for x in (brow[c] or []))) for c in cols}
 
-    # 2. melt to long: one row per (key, feature, value)
+    # 2. melt to long: one row per (key, feature, value). Only the key
+    #    and the numeric columns travel through the ECDF shuffles —
+    #    callers must NOT pass wide payload columns here.
     stack_expr = ", ".join(f"'{c}', `{c}`" for c in cols)
     long = df.select(
         F.col(key_col).alias("_k"),
         F.expr(f"stack({len(cols)}, {stack_expr}) as (_f, _v)"),
     )
 
-    # 3. bucket id = #boundaries strictly below value (expression only).
-    #    Equal values always land in the same bucket.
-    bmap = F.map_from_arrays(
-        F.array(*[F.lit(c) for c in cols]),
-        F.array(*[F.array(*[F.lit(b) for b in bounds[c]]) for c in cols]),
-    )
-    long = long.withColumn("_b", F.size(F.filter(F.element_at(bmap, F.col("_f")), lambda b: b < F.col("_v"))))
+    # 3. bucket id = #boundaries strictly below value, via a balanced
+    #    CASE-WHEN binary-search tree (codegen'd, ≤log2(B) compares —
+    #    an array-filter HOF here is interpreted and re-evaluated per
+    #    reference). Equal values always land in the same bucket.
+    def bucket_expr(bs: list[float], lo: int, hi: int):
+        # returns #boundaries in bs[lo:hi] strictly below _v, offset lo
+        if lo >= hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return (
+            F.when(F.col("_v") > F.lit(bs[mid]), bucket_expr(bs, mid + 1, hi))
+            .otherwise(bucket_expr(bs, lo, mid))
+        )
+
+    b = F.lit(0)
+    for c in cols:
+        b = F.when(F.col("_f") == c, bucket_expr(bounds[c], 0, len(bounds[c]))).otherwise(b)
+    long = long.withColumn("_b", b)
 
     # 4. per-(feature,bucket) counts -> cumulative offsets (tiny; driver)
     counts = long.groupBy("_f", "_b").count().collect()

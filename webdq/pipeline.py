@@ -75,6 +75,7 @@ class StageRunner:
         self.spark = spark
         self.workdir = workdir
         self.metrics: list[dict] = []
+        self._persisted: list[DataFrame] = []
 
     def _path(self, name: str) -> str:
         assert self.workdir
@@ -87,7 +88,13 @@ class StageRunner:
         """Return the stage DataFrame; if checkpointing is on, write it
         once and read it back (true barrier = resume point)."""
         if not self.workdir:
-            return build()
+            # No disk checkpoint → persist in memory/disk: downstream ML
+            # stages (min-max, covariance, Lloyd iterations) each rescan
+            # this frame; without a materialization every iteration would
+            # re-run the whole upstream DAG including the Arrow UDFs.
+            df = build().persist()
+            self._persisted.append(df)
+            return df
         if self.exists(name):
             self.metrics.append({"stage": name, "skipped": True})
             return self.spark.read.parquet(self._path(name))
@@ -140,7 +147,12 @@ def extract_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def normalize_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    df = normalize.ecdf(df, ECDF_FEATURES, key_col="url", prefix="u_")
+    # Numeric-only projection BEFORE the ECDF shuffles: the text and
+    # scrubbed_text payloads must not travel through the melt / window
+    # / pivot / join (they are ~50× the numeric width); scrubbed_text
+    # is joined back once at label emission.
+    numeric = [c for c in df.columns if c not in ("text", "scrubbed_text", "lang", "warc_ts", "html")]
+    df = normalize.ecdf(df.select(*numeric), ECDF_FEATURES, key_col="url", prefix="u_")
     # reference naming: u_chars not u_n_chars (utils.py:540-541 strips n_)
     return df
 
@@ -154,8 +166,11 @@ def cluster_documents(df: DataFrame, cfg: PipelineConfig):
     stats = ml.column_minmax(df, feats)
     scaled = ml.minmax_scale(df, feats, stats)
     pca = ml.fit_pca(scaled, feats, n_components=cfg.pca_components, kmin=cfg.pca_kmin, kmax=cfg.pca_kmax)
-    proj = ml.pca_project(scaled, pca)
     pc_cols = [f"pc_{j}" for j in range(pca.loadings.shape[1])]
+    # Lloyd iterations + centroid ranking rescan this frame k×; keep
+    # only (url, features, pc_*) hot — equivalent to the reference
+    # persisting /individuals between tasks (analysis_tasks.py:632-635).
+    proj = ml.pca_project(scaled, pca).select("url", *feats, *pc_cols).persist()
     km = ml.kmeans_fit(
         proj,
         pc_cols,
@@ -192,9 +207,10 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig | No
     # rank clusters by the mean scaled features of their members (one
     # aggregation), which is exact and cheap.
     scaled_cols = [c for c in feats]
+    # `clustered` feature columns are already min-max scaled by
+    # cluster_documents — rank clusters on their mean scaled features.
     centroid_rows = (
-        ml.minmax_scale(clustered, scaled_cols, stats)
-        .groupBy("cluster")
+        clustered.groupBy("cluster")
         .agg(*[F.avg(c).alias(c) for c in scaled_cols])
         .orderBy("cluster")
         .collect()
@@ -211,6 +227,10 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig | No
     labels = (
         clustered.join(F.broadcast(dim), on="cluster", how="left")
         .na.fill({"keep": False})
+        .select("url", "cluster", "keep")
+        # one url-equi-join to re-attach the scrubbed payload — the only
+        # time text crosses a shuffle after feature extraction
+        .join(feats_df.select("url", "scrubbed_text"), on="url", how="inner")
         .select("url", "cluster", "keep", "scrubbed_text")
     )
     labels = runner.run("labels", lambda: labels)

@@ -46,14 +46,38 @@ _LANGID_SCHEMA = T.StructType(
 )
 
 
+# token → bitmask of stopword-list membership (bit i = LANGS[i]).
+_TOKEN_BITS: dict[str, int] = {}
+for _i, _lang in enumerate(LANGS[:-1]):
+    for _w in LANG_STOPWORDS[_lang]:
+        _TOKEN_BITS[_w] = _TOKEN_BITS.get(_w, 0) | (1 << _i)
+
+
 def _langid_impl(text: pd.Series) -> pd.DataFrame:
-    t = text.fillna("")
-    n_words = t.str.count(r"\S+").clip(lower=1)
-    n_chars = t.str.len().clip(lower=1)
+    """Stopword-profile linear scorer. One tokenize pass + one groupby
+    instead of per-language alternation regexes (~6× faster per Arrow
+    batch; equivalence pinned by tests/test_textstats.py)."""
+    t = text.fillna("").reset_index(drop=True)
+    toks = t.str.lower().str.split()
+    n_words = toks.str.len().clip(lower=1).to_numpy()
+    n_chars = t.str.len().clip(lower=1).to_numpy()
+
     scores = np.zeros((len(t), len(LANGS)))
-    for i, lang in enumerate(LANGS[:-1]):
-        scores[:, i] = (t.str.count(_LANG_PATTERNS[lang]) / n_words).to_numpy()
-    scores[:, -1] = (t.str.count(_CJK) / n_chars).to_numpy()
+    ex = toks.explode().dropna()
+    if len(ex):
+        codes = ex.map(_TOKEN_BITS)
+        codes = codes[codes.notna()]
+        if len(codes):
+            vals = codes.astype(np.int64)
+            hit = pd.DataFrame(
+                {lang: (vals.to_numpy() & (1 << i)) > 0 for i, lang in enumerate(LANGS[:-1])},
+                index=codes.index,
+            )
+            sums = hit.groupby(level=0).sum()
+            idx = sums.index.to_numpy().astype(int)
+            for i, lang in enumerate(LANGS[:-1]):
+                scores[idx, i] = sums[lang].to_numpy() / n_words[idx]
+    scores[:, -1] = t.str.count(_CJK).to_numpy() / n_chars
     best = scores.argmax(1)
     conf = scores.max(1)
     return pd.DataFrame(
@@ -62,6 +86,105 @@ def _langid_impl(text: pd.Series) -> pd.DataFrame:
 
 
 langid_udf = pandas_udf(_langid_impl, _LANGID_SCHEMA)
+
+
+# ------------------------------------------------------- token features
+
+_TOKFEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("n_words", T.DoubleType()),
+        T.StructField("mean_word_len", T.DoubleType()),
+        T.StructField("stopword_ratio", T.DoubleType()),
+        T.StructField("dup_word_ratio", T.DoubleType()),
+        T.StructField("dup_5gram_ratio", T.DoubleType()),
+    ]
+)
+
+
+def _segment_distinct(idx: np.ndarray, key: np.ndarray, n: int, key_card: int) -> np.ndarray:
+    """#distinct key values per segment, where key ∈ [0, key_card) and
+    idx * key_card fits in int64. One combined-int sort — ~10× faster
+    than np.lexsort on the same pairs (measured)."""
+    if len(idx) == 0:
+        return np.zeros(n)
+    comb = idx.astype(np.int64) * np.int64(key_card) + key.astype(np.int64)
+    comb.sort()
+    new = np.ones(len(comb), dtype=bool)
+    new[1:] = comb[1:] != comb[:-1]
+    return np.bincount(comb[new] // np.int64(key_card), minlength=n).astype(np.float64)
+
+
+def _token_features_impl(text: pd.Series) -> pd.DataFrame:
+    """Token-level Gopher/C4 heuristics. One tokenize + one factorize
+    per Arrow batch, then pure numpy segment ops (bincount / lexsort):
+    pandas groupby/drop_duplicates were the measured hot spot at
+    150k+ docs (see git history)."""
+    from .textstats import EN_STOPWORDS
+
+    stop = set(EN_STOPWORDS)
+    t = text.fillna("").reset_index(drop=True)
+    n = len(t)
+    toks = t.str.split()
+    counts = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+    n_words = counts.astype(np.float64)
+    m = int(counts.sum())
+
+    if m:
+        flat = np.concatenate([x if isinstance(x, list) else [] for x in toks.to_numpy()])
+        idx = np.repeat(np.arange(n), counts)
+        codes, uq = pd.factorize(flat)
+        uq_idx = pd.Index(uq)
+        uq_len = uq_idx.str.len().to_numpy().astype(np.float64)
+        uq_stop = uq_idx.str.lower().isin(stop).astype(np.float64)
+        lens = np.bincount(idx, weights=uq_len[codes], minlength=n)
+        stops = np.bincount(idx, weights=uq_stop[codes], minlength=n)
+        uniq = _segment_distinct(idx, codes.astype(np.int64), n, len(uq))
+        # word-5-grams: 64-bit polynomial over word codes, folded to 40
+        # bits so (row, gram) packs into one sortable int64. Within-row
+        # collision odds ~C(w,2)/2^40 (≈5e-9 for a 100-word doc) —
+        # deterministic for fixed input, negligible at any scale.
+        if m >= 5:
+            c = codes.astype(np.uint64)
+            # full-width odd multiplier + avalanche: word codes are tiny
+            # ints, so the constant must mix across all 64 bits before
+            # we keep the top 40
+            P = np.uint64(0x9E3779B97F4A7C15)
+            key = c[: m - 4].copy()
+            for k in range(1, 5):
+                key = key * P + c[k : m - 4 + k]
+            key ^= key >> np.uint64(33)
+            key *= np.uint64(0xFF51AFD7ED558CCD)
+            key40 = (key >> np.uint64(24)).astype(np.int64)
+            valid = idx[: m - 4] == idx[4:]
+            uniq5 = _segment_distinct(idx[: m - 4][valid], key40[valid], n, 1 << 40)
+        else:
+            uniq5 = np.zeros(n)
+    else:
+        lens = stops = uniq = uniq5 = np.zeros(n)
+
+    nw = np.maximum(n_words, 1.0)
+    n5 = n_words - 4
+    dup5 = np.where(n5 > 0, 1.0 - uniq5 / np.maximum(n5, 1.0), 0.0)
+    return pd.DataFrame(
+        {
+            "n_words": n_words,
+            "mean_word_len": np.where(n_words > 0, lens / nw, 0.0),
+            "stopword_ratio": np.where(n_words > 0, stops / nw, 0.0),
+            "dup_word_ratio": np.where(n_words > 0, 1.0 - uniq / nw, 0.0),
+            "dup_5gram_ratio": dup5,
+        }
+    )
+
+
+token_features_udf = pandas_udf(_token_features_impl, _TOKFEAT_SCHEMA)
+
+
+def token_features(df, text_col: str = "text"):
+    s = token_features_udf(F.col(text_col))
+    df = df.withColumn("_tf", s)
+    return df.withColumns(
+        {f.name: F.col(f"_tf.{f.name}") for f in _TOKFEAT_SCHEMA.fields}
+    ).drop("_tf")
 
 
 # ------------------------------------------------------------- perplexity

@@ -57,35 +57,46 @@ def word_ngrams(words: Column, n: int) -> Column:
     )
 
 
-def heuristic_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append the heuristic feature columns (schema.FEATURE_COLS minus
-    the model-backed ones) to ``df``. One projection, no shuffle."""
+def word_ngram_hashes(words: Column, n: int) -> Column:
+    """Word n-grams as xxhash64 of the n-tuple — semantically equal to
+    distinct-counting string n-grams (words are whitespace tokens, so
+    the tuple is unambiguous) but ~5× cheaper: O(1) element_at lookups
+    + one hash per position instead of slice+concat allocations."""
+    cnt = F.size(words)
+    return F.when(cnt < n, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), cnt - (n - 1)),
+            lambda i: F.xxhash64(*[F.element_at(words, i + j) for j in range(n)]),
+        )
+    )
+
+
+def char_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-level features as native regex expressions (fully
+    codegen'd, single text pass each). Token-level features live in
+    ``scorers.token_features`` as a vectorized Arrow UDF: Spark's
+    higher-order array functions are evaluated interpreted with NO
+    common-subexpression elimination, so a tokens-based expression tree
+    re-evaluates split() per array access — O(n²) per row and ~30×
+    slower than one Arrow batch hop (measured; see git history)."""
     text = F.col(text_col)
-    words = words_col(text)
-    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    grams5 = word_ngrams(words, 5)
-
     n_chars = F.length(F.coalesce(text, F.lit(""))).cast("double")
-    n_words = F.size(words).cast("double")
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))).cast("double")
-    # mean word length: non-whitespace chars / word count
-    nonws = F.length(F.regexp_replace(F.coalesce(text, F.lit("")), r"\s", "")).cast("double")
-
     pii = sum(
         F.regexp_count(F.coalesce(text, F.lit("")), F.lit(p)).cast("double") for p in PII_PATTERNS.values()
     )
-
     return df.withColumns(
         {
             "n_chars": n_chars,
-            "n_words": n_words,
-            "mean_word_len": _safe_div(nonws, n_words),
-            "stopword_ratio": _safe_div(n_stop, n_words),
             "symbol_ratio": _char_class_ratio(text, r"[^\p{L}\p{N}\s]"),
             "digit_ratio": _char_class_ratio(text, r"\p{N}"),
             "upper_ratio": _char_class_ratio(text, r"\p{Lu}"),
-            "dup_word_ratio": F.lit(1.0) - _safe_div(F.size(F.array_distinct(words)), n_words),
-            "dup_5gram_ratio": F.when(F.size(grams5) > 0, F.lit(1.0) - _safe_div(F.size(F.array_distinct(grams5)), F.size(grams5))).otherwise(F.lit(0.0)),
             "pii_hits": pii,
         }
     )
+
+
+def heuristic_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All heuristic features: native char-level + Arrow-UDF token-level."""
+    from .scorers import token_features
+
+    return token_features(char_features(df, text_col), text_col)
