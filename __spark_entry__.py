@@ -560,6 +560,344 @@ SELECT 'orders' AS src, o_orderstatus AS key, count(*) AS cnt FROM orders GROUP 
 
 
 # --------------------------------------------------------------------------
+# A7 — first/last per group in explicit order (utils.py:221-260)
+# --------------------------------------------------------------------------
+
+def q23_first_last(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return e.groupBy("user_id").agg(
+        F.max(F.when(F.col("ra") == 1, F.col("event_type"))).alias("first_type"),
+        F.max(F.when(F.col("rd") == 1, F.col("event_type"))).alias("last_type"),
+    )
+
+
+SQL_23 = """
+SELECT user_id,
+       max(CASE WHEN ra = 1 THEN event_type END) AS first_type,
+       max(CASE WHEN rd = 1 THEN event_type END) AS last_type
+FROM (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) ra,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rd
+      FROM events)
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis: token stats / quality heuristics over documents.
+# Tokenization contract for oracle queries: split on single space
+# (driver documents are single-spaced), matching DuckDB string_split.
+# --------------------------------------------------------------------------
+
+def _doc_tokens():
+    return F.split(F.col("text"), " ")
+
+
+def q24_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = _doc_tokens()
+    from webdq.textstats import EN_STOPWORDS
+
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))) / F.size(toks), 6).alias("stopword_ratio"),
+        F.round((F.length("text") - F.size(toks) + 1) / F.size(toks), 6).alias("avg_token_len"),
+    )
+
+
+def _sql_stoplist(words):
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _sql_24():
+    from webdq.textstats import EN_STOPWORDS
+
+    sl = _sql_stoplist(EN_STOPWORDS)
+    return f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       round(len(list_filter(string_split(text, ' '), x -> list_contains({sl}, lower(x)))) * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       round((length(text) - len(string_split(text, ' ')) + 1) * 1.0 / len(string_split(text, ' ')), 6) AS avg_token_len
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup (hash groupBy) + document fingerprinting
+# --------------------------------------------------------------------------
+
+def q25_exact_dedup(spark, sf_dir):
+    from webdq import dedup
+
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_25 = """
+SELECT md5(coalesce(text, '')) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q26_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+SQL_26 = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Language ID: the Arrow-UDF scorer on the Spark side, re-derived in
+# pure SQL on the oracle side — same stopword-profile math.
+# --------------------------------------------------------------------------
+
+def q27_langid(spark, sf_dir):
+    from webdq.scorers import langid_udf
+
+    d = _t(spark, sf_dir, "documents")
+    s = langid_udf(F.col("text"))
+    return d.select(
+        "doc_id",
+        s.getField("lang_pred").alias("lang_pred"),
+        F.round(s.getField("langid_conf"), 6).alias("conf"),
+    )
+
+
+def _sql_27():
+    from webdq.scorers import LANG_STOPWORDS
+
+    score_exprs = []
+    for lang, ws in LANG_STOPWORDS.items():
+        sl = _sql_stoplist(ws)
+        score_exprs.append(
+            f"len(list_filter(string_split(lower(text), ' '), x -> list_contains({sl}, x))) * 1.0 / greatest(len(string_split(text, ' ')), 1) AS s_{lang}"
+        )
+    scores = ",\n       ".join(score_exprs)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+       {scores},
+       len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) * 1.0 / greatest(length(text), 1) AS s_zh
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+            WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+            WHEN s_es >= s_zh THEN 'es'
+            ELSE 'zh' END AS lang_pred,
+       round(least(greatest(s_en, s_de, s_fr, s_es, s_zh), 1.0), 6) AS conf
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs (md5-portable hashing)
+# --------------------------------------------------------------------------
+
+def q28_minhash(spark, sf_dir):
+    from webdq import dedup
+
+    return dedup.minhash_signatures(_t(spark, sf_dir, "documents"), n_bands=4)
+
+
+SQL_28 = """
+WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
+     b AS (SELECT unnest([0, 1, 2, 3]) AS band)
+SELECT doc_id, band, min(md5(t || '#' || CAST(band AS VARCHAR))) AS minhash
+FROM tok CROSS JOIN b GROUP BY doc_id, band
+"""
+
+
+def q29_minhash_lsh_pairs(spark, sf_dir):
+    from webdq import dedup
+
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n_bands=4, max_bucket=1000)
+
+
+SQL_29 = """
+WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
+     b AS (SELECT unnest([0, 1, 2, 3]) AS band),
+     sig AS (SELECT doc_id, band, min(md5(t || '#' || CAST(band AS VARCHAR))) AS minhash
+             FROM tok CROSS JOIN b GROUP BY doc_id, band)
+SELECT DISTINCT a.doc_id AS id1, x.doc_id AS id2
+FROM sig a JOIN sig x ON a.band = x.band AND a.minhash = x.minhash AND a.doc_id < x.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Portable 16-bit SimHash (md5-hex bit votes) — DuckDB-checkable; the
+# fast 64-bit xxhash64 variant is webdq.dedup.simhash (rows-only q35)
+# --------------------------------------------------------------------------
+
+def q30_simhash16(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(_doc_tokens())
+    ex = d.select("doc_id", F.explode(toks).alias("t")).withColumn("h", F.md5("t"))
+    bit = [(F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), i + 1, 1)) - 1) % 2 for i in range(16)]
+    votes = [F.sum(F.when(bit[i] == 1, 1).otherwise(-1)).alias(f"v{i}") for i in range(16)]
+    agg = ex.groupBy("doc_id").agg(*votes)
+    fp = F.lit(0)
+    for i in range(16):
+        fp = fp + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return agg.select("doc_id", fp.cast("long").alias("simhash16"))
+
+
+SQL_30 = """
+WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
+     h AS (SELECT doc_id, md5(t) AS h FROM tok),
+     bits AS (SELECT doc_id, i,
+                     (strpos('0123456789abcdef', substr(h, i + 1, 1)) - 1) % 2 AS bit
+              FROM h CROSS JOIN (SELECT unnest(range(16)) AS i)),
+     votes AS (SELECT doc_id, i, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+               FROM bits GROUP BY doc_id, i)
+SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash16
+FROM votes GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (3-grams, same-lang blocking implicit
+# via threshold; documents are all-distinct so pairs come from shared
+# vocabulary)
+# --------------------------------------------------------------------------
+
+def q31_ngram_jaccard(spark, sf_dir):
+    from webdq import dedup
+
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.05, max_doc_freq=10_000_000
+    )
+
+
+SQL_31 = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+     grams AS (SELECT doc_id,
+                      unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS g
+               FROM toks WHERE len(w) >= 3),
+     sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+     inter AS (SELECT a.doc_id id1, b.doc_id id2, count(*) AS i
+               FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+SELECT id1, id2, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.05
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup pairs + exact cosine top-k ANN baseline
+# --------------------------------------------------------------------------
+
+def q32_embedding_neardup(spark, sf_dir):
+    from webdq import dedup
+
+    return dedup.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+SQL_32 = """
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
+"""
+
+
+def q33_ann_topk(spark, sf_dir):
+    from webdq import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.cosine_topk(e, q, k=3)
+
+
+SQL_33 = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+     scored AS (SELECT q.qid, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS cos
+                FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+     ranked AS (SELECT qid, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                FROM scored)
+SELECT qid AS query_id, rnk AS rank, neighbor_id, round(cos, 6) AS cosine
+FROM ranked WHERE rnk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# C4/Gopher-style quality rules as a keep/drop predicate
+# --------------------------------------------------------------------------
+
+def q34_quality_rules(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = _doc_tokens()
+    from webdq.textstats import EN_STOPWORDS
+
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))) / n
+    dup_ratio = F.lit(1.0) - F.size(F.array_distinct(toks)) / n
+    return d.select(
+        "doc_id",
+        ((n >= 30) & (stop_ratio >= 0.05) & (dup_ratio <= 0.8)).alias("keep"),
+    )
+
+
+def _sql_34():
+    from webdq.textstats import EN_STOPWORDS
+
+    sl = _sql_stoplist(EN_STOPWORDS)
+    return f"""
+SELECT doc_id,
+       (len(string_split(text, ' ')) >= 30
+        AND len(list_filter(string_split(text, ' '), x -> list_contains({sl}, lower(x)))) * 1.0 / len(string_split(text, ' ')) >= 0.05
+        AND 1.0 - len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) <= 0.8) AS keep
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Rows-only entries (non-SQL-expressible / engine-internal hashing):
+# 64-bit xxhash SimHash, LSH-bucketed ANN, multimodal decode plumbing
+# --------------------------------------------------------------------------
+
+def q35_simhash64(spark, sf_dir):
+    from webdq import dedup
+
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q36_lsh_ann(spark, sf_dir):
+    from webdq import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.lsh_topk(e, q, dim=64, k=3, n_bits=8)
+
+
+def q37_multimodal_decode(spark, sf_dir):
+    from webdq import multimodal
+
+    media = multimodal.synth_media(spark, 200)
+    return multimodal.decode_image_features(media, fake=True).drop("byte_hist")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -587,6 +925,21 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_recode": q20_recode,
     "q21_compound_filter": q21_compound_filter,
     "q22_union": q22_union,
+    "q23_first_last": q23_first_last,
+    "q24_text_stats": q24_text_stats,
+    "q25_exact_dedup": q25_exact_dedup,
+    "q26_fingerprint": q26_fingerprint,
+    "q27_langid": q27_langid,
+    "q28_minhash": q28_minhash,
+    "q29_minhash_lsh_pairs": q29_minhash_lsh_pairs,
+    "q30_simhash16": q30_simhash16,
+    "q31_ngram_jaccard": q31_ngram_jaccard,
+    "q32_embedding_neardup": q32_embedding_neardup,
+    "q33_ann_topk": q33_ann_topk,
+    "q34_quality_rules": q34_quality_rules,
+    "q35_simhash64": q35_simhash64,
+    "q36_lsh_ann": q36_lsh_ann,
+    "q37_multimodal_decode": q37_multimodal_decode,
 }
 
 _ORACLES: dict[str, str] = {
@@ -612,6 +965,18 @@ _ORACLES: dict[str, str] = {
     "q20_recode": SQL_20,
     "q21_compound_filter": SQL_21,
     "q22_union": SQL_22,
+    "q23_first_last": SQL_23,
+    "q24_text_stats": _sql_24(),
+    "q25_exact_dedup": SQL_25,
+    "q26_fingerprint": SQL_26,
+    "q27_langid": _sql_27(),
+    "q28_minhash": SQL_28,
+    "q29_minhash_lsh_pairs": SQL_29,
+    "q30_simhash16": SQL_30,
+    "q31_ngram_jaccard": SQL_31,
+    "q32_embedding_neardup": SQL_32,
+    "q33_ann_topk": SQL_33,
+    "q34_quality_rules": _sql_34(),
 }
 
 

@@ -1,0 +1,87 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding cosine — vs hand-computed / pandas oracles."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from webdq import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "en"),
+    (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat", "en"),  # near dup
+    (4, "completely different text about spark engines here", "en"),
+    (5, "spark engines here completely different text about", "en"),  # same token set as 4
+    (6, "unrelated short doc", "de"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(spark):
+    out = {r["fingerprint"]: r for r in dedup.exact_dedup(_df(spark)).collect()}
+    dup_groups = [r for r in out.values() if r["n_copies"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["keep_id"] == 1 and dup_groups[0]["n_copies"] == 2
+    kept = dedup.dedup_keep_first(_df(spark)).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 3, 4, 5, 6]
+
+
+def test_minhash_identical_sets_always_pair(spark):
+    pairs = {(r["id1"], r["id2"]) for r in dedup.minhash_lsh_pairs(_df(spark)).collect()}
+    # identical texts share every band; identical token SETS too (4,5)
+    assert (1, 2) in pairs
+    assert (4, 5) in pairs
+    # near-dup (1,3)/(2,3) likely; disjoint docs must not pair
+    assert (4, 6) not in pairs and (1, 4) not in pairs
+
+
+def test_minhash_matches_pandas_oracle(spark):
+    """Same md5-minhash computed in pure python must give identical
+    signatures (portability invariant used by the DuckDB oracle)."""
+    import hashlib
+
+    sig = dedup.minhash_signatures(_df(spark), n_bands=4).collect()
+    got = {(r["doc_id"], r["band"]): r["minhash"] for r in sig}
+    for doc_id, text, _ in DOCS:
+        toks = list(dict.fromkeys(text.split()))
+        for b in range(4):
+            exp = min(hashlib.md5(f"{t}#{b}".encode()).hexdigest() for t in toks)
+            assert got[(doc_id, b)] == exp
+
+
+def test_simhash_properties(spark):
+    s = {r["doc_id"]: r["simhash"] for r in dedup.simhash(_df(spark)).collect()}
+    assert s[1] == s[2]  # identical text → identical fingerprint
+    assert s[4] == s[5]  # same token set → identical fingerprint
+    m64 = (1 << 64) - 1
+    ham13 = bin((s[1] ^ s[3]) & m64).count("1")
+    ham16 = bin((s[1] ^ s[6]) & m64).count("1")
+    assert ham13 < ham16  # near dup closer than unrelated
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in dedup.simhash_pairs(_df(spark), max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(4, 5)] == 0
+
+
+def test_ngram_jaccard(spark):
+    out = {(r["id1"], r["id2"]): r["jaccard"] for r in dedup.ngram_jaccard_pairs(_df(spark), n=3, threshold=0.3).collect()}
+    assert out[(1, 2)] == 1.0
+    # docs 1 and 3: 7 distinct 3-grams each, 6 shared → J = 6/8
+    assert abs(out[(1, 3)] - 0.75) < 1e-9
+    assert (1, 4) not in out
+
+
+def test_embedding_neardup_and_cosine(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.04, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [1.0, 0.0, 0.0], 1),  # other block — never paired with 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {(r["id1"], r["id2"]): r["cosine"] for r in dedup.embedding_neardup_pairs(df, threshold=0.95).collect()}
+    assert (1, 2) in out and out[(1, 2)] > 0.99
+    assert (1, 3) not in out and (1, 4) not in out
+    exp = 0.999 / np.sqrt(0.999**2 + 0.04**2)
+    assert abs(out[(1, 2)] - round(exp, 6)) < 1e-9

@@ -1,0 +1,206 @@
+"""Deduplication operators for a training-data pipeline.
+
+Five families, all pure DataFrame compositions (no UDFs — dedup is
+join/agg-shaped, exactly what Catalyst optimizes):
+
+- exact            hash-groupBy on canonicalized text (md5)
+- minhash_lsh      per-band min-of-hash signatures → bucket equi-join
+- simhash          64-bit weighted-bit-vote fingerprint + banded
+                   hamming candidate pairs
+- ngram_jaccard    shingle inverted index → pair co-count → Jaccard
+- embedding_neardup cosine pairs inside a blocking key
+
+Scale notes (10^12 docs): every candidate generation here is an
+equi-join on a bounded-fanout key — band buckets / rare shingles /
+blocking keys — so the pair explosion is O(sum of bucket²), controlled
+by ``max_bucket`` / document-frequency caps, never a cross join. The
+md5-based hashing is chosen over xxhash64 where an external oracle
+must reproduce signatures (md5 is engine-portable); xxhash64 where
+only internal consistency matters (simhash bits).
+
+Reference analog: the reference dedups only by key
+(/root/reference/osmdq/utils.py:365, drop_duplicates before counting);
+near-dup text dedup is the web-corpus generalization the north rule
+adds (MinHash as in Broder '97 resemblance sketches, SimHash as in
+Charikar '02 — public algorithms, built from Spark primitives).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str, distinct: bool = True):
+    t = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    return F.array_distinct(t) if distinct else t
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: md5(text) → (fingerprint, keep_id,
+    n_copies). keep_id = lowest id (deterministic representative)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def dedup_keep_first(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Drop exact duplicates, keeping the lowest-id copy — the
+    row_number-window form (no join back)."""
+    w = Window.partitionBy(F.md5(F.coalesce(F.col(text_col), F.lit("")))).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bands: int = 8) -> DataFrame:
+    """One row per (id, band, minhash): minhash_b = min over the doc's
+    distinct tokens of md5(token || '#' || b). md5 keeps the signature
+    reproducible by any engine (oracle parity)."""
+    toks = _tokens(text_col)
+    bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks")).select("doc_id", "_toks", bands)
+    sig = F.array_min(
+        F.transform(F.col("_toks"), lambda t: F.md5(F.concat(t, F.lit("#"), F.col("band").cast("string"))))
+    )
+    return base.select("doc_id", "band", sig.alias("minhash")).filter(F.col("minhash").isNotNull())
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 8,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any (band, minhash)
+    bucket. Buckets larger than ``max_bucket`` are dropped (a bucket of
+    b docs yields b² pairs — at web scale a stopword-like bucket would
+    dominate the join; the cap is the standard LSH skew guard)."""
+    sig = minhash_signatures(df, id_col, text_col, n_bands)
+    cnt = Window.partitionBy("band", "minhash")
+    sig = sig.withColumn("_n", F.count(F.lit(1)).over(cnt)).filter(F.col("_n") <= max_bucket).drop("_n")
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.minhash") == F.col("b.minhash")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .dropDuplicates()
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: per distinct token take xxhash64(token);
+    each bit votes ±1; fingerprint bit = sign of the vote sum.
+    Explode + one groupBy — a single shuffle keyed by doc id."""
+    toks = _tokens(text_col)
+    ex = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("_t"))
+    h = F.xxhash64("_t")
+
+    def mask(i: int):
+        # bit 63 as a signed-long literal (two's complement)
+        return F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+
+    votes = [
+        F.sum(F.when(h.bitwiseAND(mask(i)) != 0, 1).otherwise(-1)).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = ex.groupBy("doc_id").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"v{i}") > 0, mask(i)).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
+    16-bit keys (pigeonhole: hamming ≤ 3 ⇒ at least one band equal),
+    equi-join on band key, verify with bit_count(xor)."""
+    s = simhash(df, id_col, text_col)
+    band_keys = F.array(
+        *[F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)) for i in range(4)]
+    )
+    keyed = s.select("doc_id", "simhash", F.posexplode(band_keys).alias("band", "bkey"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs via shingle inverted index:
+    explode distinct word n-grams → drop shingles appearing in more
+    than ``max_doc_freq`` docs (they generate quadratic pairs and
+    carry no resemblance signal) → self-join on shingle → per-pair
+    intersection count → |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
+
+    Note: dropping frequent shingles can only UNDERCOUNT the
+    intersection, so this returns a (deterministic) subset at the
+    threshold boundary; set max_doc_freq ≥ #docs for exactness at
+    test scale."""
+    toks = _tokens(text_col, distinct=False)
+    cnt = F.size(toks)
+    grams = F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), cnt - (n - 1)), lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    sh = df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("g"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = Window.partitionBy("g")
+    sh = sh.withColumn("_df", F.count(F.lit(1)).over(freq)).filter(F.col("_df") <= max_doc_freq).drop("_df")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(sa, "id1").join(sb, "id2")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def cosine_col(a, b):
+    """cos(a, b) for two array<float|double> columns, computed in
+    double as whole-stage expressions (zip_with + aggregate)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs inside a blocking key (equi-join
+    on the block, never a cross join). At 10^12 scale the block key
+    would be an LSH bucket (similarity.lsh_buckets); any column works."""
+    a = df.select(F.col(id_col).alias("id1"), F.col(block_col).alias("_blk"), F.col(vec_col).alias("_v1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(block_col).alias("_blk"), F.col(vec_col).alias("_v2"))
+    return (
+        a.join(b, ["_blk"])
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", cosine_col(F.col("_v1"), F.col("_v2")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,117 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``cosine_topk``: brute-force exact top-k — broadcast the (small)
+  query set against the full corpus, score with whole-stage
+  zip_with/aggregate expressions, rank with a per-query window. The
+  correctness baseline; O(|corpus| × |queries|) but embarrassingly
+  parallel and shuffle-free until the final per-query top-k.
+- ``lsh_buckets`` / ``lsh_topk``: sign-random-projection LSH (SimHash
+  for vectors, Charikar '02): ``n_bits`` fixed hyperplanes (a
+  deterministic seeded matrix, broadcast once), bucket = sign
+  pattern; candidates = bucket equi-join, then exact cosine re-rank.
+  The scale path: candidate generation is an equi-join with bounded
+  buckets instead of a cross product. Multi-probe (hamming-1 probes)
+  recovers recall near bucket boundaries.
+
+The hyperplane projection is a vectorized Arrow UDF (one numpy matmul
+per batch) — the idiomatic fast path for per-row linear algebra.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .dedup import cosine_col
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, rank, neighbor_id, cosine).
+    Self-matches (same id) are excluded. Ties break on neighbor id."""
+    q = queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("_qid"))
+        .withColumn("cosine", cosine_col(F.col("_cv"), F.col("_qv")))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias("query_id"), "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
+    """Deterministic seeded Gaussian hyperplanes — a model constant,
+    identical on every executor (shipped inside the UDF closure; at
+    very high dim it would be a broadcast variable instead)."""
+    return np.random.RandomState(seed).randn(n_bits, dim)
+
+
+def lsh_buckets(
+    df: DataFrame, dim: int, n_bits: int = 12, seed: int = 7, vec_col: str = "embedding", out: str = "bucket"
+) -> DataFrame:
+    H = _hyperplanes(dim, n_bits, seed)
+
+    @pandas_udf(T.LongType())
+    def bucket_udf(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.to_numpy())  # (batch, dim)
+        signs = (M @ H.T) > 0  # (batch, n_bits)
+        return pd.Series((signs.astype(np.int64) << np.arange(n_bits, dtype=np.int64)).sum(axis=1))
+
+    return df.withColumn(out, bucket_udf(F.col(vec_col)))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket (or a
+    hamming-1 neighbor bucket with multiprobe), re-ranked exactly."""
+    c = lsh_buckets(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), dim, n_bits, seed, "_cv")
+    q = lsh_buckets(queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")), dim, n_bits, seed, "_qv")
+    if multiprobe:
+        probes = F.array(F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)])
+        q = q.withColumn("bucket", F.explode(probes))
+    cand = (
+        c.join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col("_qid"))
+        .withColumn("cosine", cosine_col(F.col("_cv"), F.col("_qv")))
+        .dropDuplicates(["_qid", "neighbor_id"])
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias("query_id"), "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame) -> float:
+    """Diagnostic: |approx ∩ exact| / |exact| over (query, neighbor)."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    inter = e.join(a, ["query_id", "neighbor_id"]).count()
+    total = e.count()
+    return inter / total if total else 1.0
