@@ -898,6 +898,31 @@ def q37_multimodal_decode(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# PII/toxicity scrub — the byte-identity invariant (north rule) checked
+# against an independent regex engine: DuckDB (RE2) must reproduce the
+# Spark (Java regex) scrub chain byte-for-byte; we compare md5 of the
+# scrubbed text plus the text itself.
+# --------------------------------------------------------------------------
+
+def q38_scrub(spark, sf_dir):
+    from webdq.scrub import scrub_col
+
+    d = _t(spark, sf_dir, "documents")
+    sc = scrub_col(F.col("text"))
+    return d.select("doc_id", sc.alias("scrubbed"), F.md5(sc).alias("scrub_md5"))
+
+
+def _sql_38():
+    from webdq.scrub import SCRUB_CHAIN
+
+    expr = "text"
+    for pat, repl in SCRUB_CHAIN:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS scrubbed, md5({expr}) AS scrub_md5 FROM documents"
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -940,6 +965,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_simhash64": q35_simhash64,
     "q36_lsh_ann": q36_lsh_ann,
     "q37_multimodal_decode": q37_multimodal_decode,
+    "q38_scrub": q38_scrub,
 }
 
 _ORACLES: dict[str, str] = {
@@ -977,6 +1003,7 @@ _ORACLES: dict[str, str] = {
     "q32_embedding_neardup": SQL_32,
     "q33_ann_topk": SQL_33,
     "q34_quality_rules": _sql_34(),
+    "q38_scrub": _sql_38(),
 }
 
 
