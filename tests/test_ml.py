@@ -96,3 +96,15 @@ def test_silhouette(spark):
     out = ml.kmeans_assign(df, ["a", "b", "c"], np.array([[0, 0, 0], [10, 10, 0], [0, 10, 10]], dtype=float))
     s = ml.silhouette_sampled(out, ["a", "b", "c"], "cluster", "key", sample_n=200)
     assert s > 0.8  # well-separated blobs
+
+
+def test_fit_scaled_pca_equals_two_pass(spark):
+    df, X, _ = _blob_df(spark)
+    cols = ["a", "b", "c"]
+    stats1 = ml.column_minmax(df, cols)
+    pca1 = ml.fit_pca(ml.minmax_scale(df, cols, stats1), cols, n_components=2)
+    stats2, pca2 = ml.fit_scaled_pca(df, cols, n_components=2)
+    assert stats1 == stats2
+    np.testing.assert_allclose(pca1.mean, pca2.mean, rtol=1e-9)
+    np.testing.assert_allclose(pca1.loadings, pca2.loadings, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(pca1.eigvals, pca2.eigvals, rtol=1e-8)

@@ -105,6 +105,53 @@ def optimal_pca_components(
     return min(max(candidate, nb_min_dim), nb_max_dim)
 
 
+def fit_scaled_pca(
+    df: DataFrame, cols: list[str], n_components: int = 0, kmin: int = 2, kmax: int = 12
+) -> tuple[dict[str, tuple[float, float]], PCAModel]:
+    """ONE aggregation computes min/max AND raw covariance; the scaled
+    covariance follows analytically (cov_z[i,j] = cov_x[i,j]/(r_i r_j),
+    mean_z = (mean−min)/r). Saves a full scan vs minmax-then-covariance
+    and keeps the min-max → PCA semantics identical (tested)."""
+    d = len(cols)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        aggs += [F.min(c).alias(f"mn_{i}"), F.max(c).alias(f"mx_{i}"), F.sum(c).alias(f"s_{i}")]
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(F.col(cols[i]) * F.col(cols[j])).alias(f"xp_{i}_{j}"))
+    row = df.agg(*aggs).collect()[0]
+    n = int(row["_n"])
+    mn = np.array([float(row[f"mn_{i}"] or 0.0) for i in range(d)])
+    mx = np.array([float(row[f"mx_{i}"] or 0.0) for i in range(d)])
+    r = np.where(mx - mn == 0.0, 1.0, mx - mn)
+    mean = np.array([float(row[f"s_{i}"] or 0.0) for i in range(d)]) / max(n, 1)
+    cov = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            xp = float(row[f"xp_{i}_{j}"] or 0.0)
+            cov[i, j] = cov[j, i] = (xp - n * mean[i] * mean[j]) / max(n - 1, 1)
+    cov_z = cov / np.outer(r, r)
+    mean_z = (mean - mn) / r
+    # constant columns scale to exactly 0 (minmax_scale emits lit(0.0))
+    const = mx - mn == 0.0
+    mean_z[const] = 0.0
+    cov_z[const, :] = 0.0
+    cov_z[:, const] = 0.0
+
+    w, v = np.linalg.eigh(cov_z)
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+    if n_components <= 0:
+        n_components = optimal_pca_components(pca_variance(w), kmin, min(kmax, len(cols)))
+    L = v[:, :n_components].copy()
+    for j in range(L.shape[1]):
+        i = int(np.argmax(np.abs(L[:, j])))
+        if L[i, j] < 0:
+            L[:, j] = -L[:, j]
+    stats = {c: (float(mn[i]), float(mx[i])) for i, c in enumerate(cols)}
+    return stats, PCAModel(cols=list(cols), mean=mean_z, loadings=L, eigvals=w)
+
+
 def fit_pca(df: DataFrame, cols: list[str], n_components: int = 0, kmin: int = 2, kmax: int = 12) -> PCAModel:
     """Eigendecomposition of the feature covariance. n_components=0 →
     automatic selection (the reference's AutoPCA,

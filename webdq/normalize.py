@@ -91,7 +91,9 @@ def ecdf(
     b = F.lit(0)
     for c in cols:
         b = F.when(F.col("_f") == c, bucket_expr(bounds[c], 0, len(bounds[c]))).otherwise(b)
-    long = long.withColumn("_b", b)
+    # materialize once: the bucket-count collect AND the final
+    # window+pivot both consume this frame
+    long = long.withColumn("_b", b).persist()
 
     # 4. per-(feature,bucket) counts -> cumulative offsets (tiny; driver)
     counts = long.groupBy("_f", "_b").count().collect()

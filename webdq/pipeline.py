@@ -163,9 +163,10 @@ def cluster_documents(df: DataFrame, cfg: PipelineConfig):
     if missing:
         raise ValueError(f"cluster feature columns missing from input: {missing}")
     feats = list(CLUSTER_FEATURES)
-    stats = ml.column_minmax(df, feats)
+    # one pass: min/max + covariance (scaled covariance derived on the
+    # driver) instead of separate minmax and covariance scans
+    stats, pca = ml.fit_scaled_pca(df, feats, n_components=cfg.pca_components, kmin=cfg.pca_kmin, kmax=cfg.pca_kmax)
     scaled = ml.minmax_scale(df, feats, stats)
-    pca = ml.fit_pca(scaled, feats, n_components=cfg.pca_components, kmin=cfg.pca_kmin, kmax=cfg.pca_kmax)
     pc_cols = [f"pc_{j}" for j in range(pca.loadings.shape[1])]
     # Lloyd iterations + centroid ranking rescan this frame k×; keep
     # only (url, features, pc_*) hot — equivalent to the reference

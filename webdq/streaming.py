@@ -1,0 +1,69 @@
+"""Structured Streaming front-end for the quality filter.
+
+The reference is strictly batch (Luigi file targets —
+/root/reference/osmdq/analysis_tasks.py:36-43); resumable batch stages
+remain this engine's contract (pipeline.py). This module adds the
+streaming ingestion path a production crawl pipeline needs: the SAME
+stateless feature/scrub/score expressions applied over
+``readStream`` micro-batches, plus watermarked tumbling-window
+statistics for monitoring. Model-dependent stages (PCA/KMeans) stay
+batch-fit: streaming scoring uses a previously fitted model's
+centroids as constants (the standard fit-offline / score-online
+split), so the streaming plan is fully incremental — no stateful
+shuffle beyond the windowed aggregation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import ml
+from .scrub import scrub
+from .textstats import char_features
+from .scorers import model_features, token_features
+from .schema import PAGES
+
+
+def read_pages_stream(spark: SparkSession, path: str, max_files: int = 16) -> DataFrame:
+    """File-source stream over a directory of pages parquet (the
+    crawl-drop pattern: each new crawl segment lands as files)."""
+    return (
+        spark.readStream.schema(PAGES)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def score_stream(
+    pages: DataFrame,
+    feature_cols: list[str],
+    centers: np.ndarray,
+    keep_clusters: set[int],
+    stats: dict[str, tuple[float, float]],
+) -> DataFrame:
+    """Stateless per-document scoring: features → scrub → min-max (with
+    batch-fitted stats) → nearest batch-fitted centroid → keep flag.
+    Every operator here is row-local, so the streaming plan has no
+    shuffle at all — it scales with input rate."""
+    df = scrub(model_features(token_features(char_features(pages))))
+    scaled = ml.minmax_scale(df, [c for c in feature_cols if c in df.columns], stats)
+    out = ml.kmeans_assign(scaled, [c for c in feature_cols if c in scaled.columns], centers, out="cluster")
+    keep = F.col("cluster").isin(*[int(k) for k in keep_clusters]) if keep_clusters else F.lit(False)
+    return out.select("url", "warc_ts", "cluster", keep.alias("keep"), "scrubbed_text")
+
+
+def windowed_lang_stats(pages: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window ingest statistics per language —
+    late pages beyond the watermark are dropped from the aggregation
+    (bounded state)."""
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.avg(F.length("text")).alias("avg_chars"),
+        )
+        .select(F.col("w.start").alias("window_start"), "lang", "n_pages", F.round("avg_chars", 4).alias("avg_chars"))
+    )
