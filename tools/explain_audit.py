@@ -1,0 +1,59 @@
+"""Physical-plan audit: print .explain("formatted") for key queries and
+check the properties that matter at 100 TB — predicate pushdown to the
+parquet scan, column pruning (ReadSchema ⊂ table schema), broadcast
+joins for small dims, whole-stage codegen coverage.
+
+Usage: python tools/explain_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+CHECKS = {
+    "q21_compound_filter": ["PushedFilters: [", "ReadSchema"],
+    "q01_latest_version": ["ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,event_type:string"],
+    "q13_star_join": ["BroadcastHashJoin"],
+    "q14_label_join": ["BroadcastHashJoin"],
+    "q06_topk": ["TakeOrderedAndProject"],
+    # AQE formatted plans don't print codegen ids before execution;
+    # "Batched: true" asserts the columnar parquet scan, "partial_"
+    # asserts map-side combine before the exchange.
+    "q08_agg_core": ["partial_", "Batched: true"],
+}
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    import __spark_entry__ as e
+    from webdq.session import build_session
+
+    spark = build_session("local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = e.queries()
+    names = sys.argv[1:] or list(CHECKS)
+    sf = "/root/testdata/sf0.01"
+    bad = 0
+    for name in names:
+        plan = plan_of(qs[name](spark, sf))
+        print(f"\n========== {name} ==========")
+        print(plan)
+        for needle in CHECKS.get(name, []):
+            ok = needle in plan
+            bad += not ok
+            print(f"  CHECK {'PASS' if ok else 'FAIL'}: {needle!r}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
