@@ -725,13 +725,18 @@ FROM tok CROSS JOIN b GROUP BY doc_id, band
 
 
 def q29_minhash_lsh_pairs(spark, sf_dir):
+    """3-word-shingle MinHash LSH: collisions track resemblance, not
+    shared vocabulary (unigram signatures pair ~95% of this corpus)."""
     from webdq import dedup
 
-    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n_bands=4, max_bucket=1000)
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n_bands=4, max_bucket=1000, shingle_n=3)
 
 
 SQL_29 = """
-WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+     tok AS (SELECT doc_id,
+                    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS t
+             FROM w WHERE len(w) >= 3),
      b AS (SELECT unnest([0, 1, 2, 3]) AS band),
      sig AS (SELECT doc_id, band, min(md5(t || '#' || CAST(band AS VARCHAR))) AS minhash
              FROM tok CROSS JOIN b GROUP BY doc_id, band)

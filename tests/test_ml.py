@@ -71,7 +71,7 @@ def test_pca_projection_matches_numpy(spark):
 
 def test_kmeans_recovers_blobs(spark):
     df, X, lab = _blob_df(spark)
-    km = ml.kmeans_fit(df, ["a", "b", "c"], k=3, key_col="key", init_sample=256)
+    km = ml.kmeans_fit(df, ["a", "b", "c"], k=3, key_col="key", init_sample=256, compute_inertia=True)
     got = ml.kmeans_assign(df, ["a", "b", "c"], km.centers).select("truth", "cluster").collect()
     # each truth group maps to exactly one cluster
     m: dict[int, set] = {}
@@ -108,3 +108,11 @@ def test_fit_scaled_pca_equals_two_pass(spark):
     np.testing.assert_allclose(pca1.mean, pca2.mean, rtol=1e-9)
     np.testing.assert_allclose(pca1.loadings, pca2.loadings, rtol=1e-7, atol=1e-10)
     np.testing.assert_allclose(pca1.eigvals, pca2.eigvals, rtol=1e-8)
+
+
+def test_auto_kmeans_elbow_recovers_k(spark):
+    df, _, _ = _blob_df(spark)
+    best, models = ml.auto_kmeans(df, ["a", "b", "c"], key_col="key", nbmin_clusters=2, nbmax_clusters=6, init_sample=256)
+    assert best == 3
+    assert set(models) == set(range(1, 8))
+    assert models[3].inertia == models[3].inertia  # not NaN

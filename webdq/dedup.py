@@ -53,11 +53,27 @@ def dedup_keep_first(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bands: int = 8) -> DataFrame:
+def _shingles(text_col: str, n: int):
+    """Distinct word n-gram shingles (space-joined); n=1 → tokens."""
+    if n == 1:
+        return _tokens(text_col)
+    toks = _tokens(text_col, distinct=False)
+    cnt = F.size(toks)
+    grams = F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), cnt - (n - 1)), lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bands: int = 8, shingle_n: int = 1
+) -> DataFrame:
     """One row per (id, band, minhash): minhash_b = min over the doc's
-    distinct tokens of md5(token || '#' || b). md5 keeps the signature
-    reproducible by any engine (oracle parity)."""
-    toks = _tokens(text_col)
+    distinct shingles of md5(shingle || '#' || b). md5 keeps the
+    signature reproducible by any engine (oracle parity). shingle_n>1
+    (word n-grams) makes collisions track resemblance instead of
+    shared vocabulary."""
+    toks = _shingles(text_col, shingle_n)
     bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks")).select("doc_id", "_toks", bands)
     sig = F.array_min(
@@ -72,12 +88,13 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n_bands: int = 8,
     max_bucket: int = 50,
+    shingle_n: int = 1,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, minhash)
     bucket. Buckets larger than ``max_bucket`` are dropped (a bucket of
     b docs yields b² pairs — at web scale a stopword-like bucket would
     dominate the join; the cap is the standard LSH skew guard)."""
-    sig = minhash_signatures(df, id_col, text_col, n_bands)
+    sig = minhash_signatures(df, id_col, text_col, n_bands, shingle_n)
     cnt = Window.partitionBy("band", "minhash")
     sig = sig.withColumn("_n", F.count(F.lit(1)).over(cnt)).filter(F.col("_n") <= max_bucket).drop("_n")
     a = sig.alias("a")

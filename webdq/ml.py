@@ -247,6 +247,7 @@ def kmeans_fit(
     init_sample: int = 4096,
     n_init: int = 10,
     seed: int = 42,
+    compute_inertia: bool = False,
 ) -> KMeansModel:
     """Deterministic distributed KMeans.
 
@@ -295,7 +296,9 @@ def kmeans_fit(
         if shift < tol:
             break
 
-    inert = inertia(df, cols, centers)
+    # inertia is diagnostics (elbow sweep) — skip the extra scan unless
+    # asked (the label path never needs it)
+    inert = inertia(df, cols, centers) if compute_inertia else float("nan")
     return KMeansModel(cols=list(cols), centers=centers, inertia=inert, iterations=it)
 
 
@@ -320,6 +323,28 @@ def compute_nb_clusters(inertias: list[float], nbmin_clusters: int) -> int:
     compute_nb_clusters (/root/reference/osmdq/unsupervised_learning.py:405-428)."""
     d = elbow_derivation(inertias)
     return nbmin_clusters + d.index(max(d))
+
+
+def auto_kmeans(
+    df: DataFrame,
+    cols: list[str],
+    key_col: str,
+    nbmin_clusters: int = 3,
+    nbmax_clusters: int = 8,
+    **fit_kw,
+) -> tuple[int, dict[int, "KMeansModel"]]:
+    """The reference's AutoKMeans flagship
+    (/root/reference/osmdq/analysis_tasks.py:809-873): fit KMeans for
+    k ∈ [kmin−1, kmax+1], apply the elbow 2nd-derivative rule over the
+    inertias of k ∈ [kmin, kmax], return (chosen k, all fitted models).
+    Each fit reuses the same persisted input; inertia is one
+    aggregation per k."""
+    models: dict[int, KMeansModel] = {}
+    for k in range(nbmin_clusters - 1, nbmax_clusters + 2):
+        models[k] = kmeans_fit(df, cols, k=k, key_col=key_col, compute_inertia=True, **fit_kw)
+    inertias = [models[k].inertia for k in range(nbmin_clusters, nbmax_clusters + 1)]
+    best = compute_nb_clusters(inertias, nbmin_clusters)
+    return best, models
 
 
 def silhouette_sampled(df: DataFrame, cols: list[str], cluster_col: str, key_col: str, sample_n: int = 2000) -> float:

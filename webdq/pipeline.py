@@ -57,6 +57,9 @@ ECDF_FEATURES = ["n_chars", "n_words", "mean_word_len", "perplexity"]
 class PipelineConfig:
     workdir: str | None = None  # None → fully lazy, no checkpoints
     k: int = 5
+    k_auto: bool = False  # True → reference AutoKMeans elbow sweep
+    kmeans_kmin: int = 3
+    kmeans_kmax: int = 8
     pca_components: int = 0  # 0 → auto (cumvar > 70%)
     pca_kmin: int = 3  # reference clamps auto-k to [3, 12] (BASELINE.md)
     pca_kmax: int = 8
@@ -172,15 +175,13 @@ def cluster_documents(df: DataFrame, cfg: PipelineConfig):
     # only (url, features, pc_*) hot — equivalent to the reference
     # persisting /individuals between tasks (analysis_tasks.py:632-635).
     proj = ml.pca_project(scaled, pca).select("url", *feats, *pc_cols).persist()
-    km = ml.kmeans_fit(
-        proj,
-        pc_cols,
-        k=cfg.k,
-        key_col="url",
-        max_iter=cfg.kmeans_max_iter,
-        init_sample=cfg.kmeans_init_sample,
-        seed=cfg.seed,
-    )
+    fit_kw = dict(max_iter=cfg.kmeans_max_iter, init_sample=cfg.kmeans_init_sample, seed=cfg.seed)
+    if cfg.k_auto:
+        # reference AutoKMeans: sweep k, pick by elbow 2nd derivative
+        best_k, models = ml.auto_kmeans(proj, pc_cols, "url", cfg.kmeans_kmin, cfg.kmeans_kmax, **fit_kw)
+        km = models[best_k]
+    else:
+        km = ml.kmeans_fit(proj, pc_cols, k=cfg.k, key_col="url", **fit_kw)
     out = ml.kmeans_assign(proj, pc_cols, km.centers, out="cluster")
     return out, feats, stats, pca, km
 
