@@ -86,6 +86,12 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_
 # --------------------------------------------------------------------------
 
 def q02_lead_flags(spark, sf_dir):
+    """SURVEY §7.3 item 3 decision: the reference's id-only diff
+    (utils.py:271-275, ignores elem across a stable sort) is replaced
+    by correct per-entity window partitioning — here partitionBy the
+    entity key, orderBy the version key. The id-only behavior differs
+    only for colliding ids at sort boundaries; this engine takes the
+    semantically correct form and pins it with the DuckDB oracle."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("event_id")
     nxt = F.lead("event_type").over(w)

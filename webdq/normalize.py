@@ -108,14 +108,17 @@ def ecdf(
         for b in sorted(bc):
             offsets[f"{f_name}#{b}"] = acc
             acc += bc[b]
-    omap = F.map_from_arrays(
-        F.array(*[F.lit(k) for k in offsets]),
-        F.array(*[F.lit(v) for v in offsets.values()]),
-    )
-    nmap = F.map_from_arrays(
-        F.array(*[F.lit(k) for k in n_total]),
-        F.array(*[F.lit(v) for v in n_total.values()]),
-    )
+    # broadcast-joined offsets table (≤ n_buckets × n_features rows):
+    # a literal map column would be re-CONSTRUCTED per row (measured
+    # hot); a broadcast hash join costs one probe per row.
+    spark = df.sparkSession
+    off_rows = [
+        (f_name, b, offsets[f"{f_name}#{b}"], n_total[f_name])
+        for f_name, bc in per_feat.items()
+        for b in bc
+    ]
+    off_df = spark.createDataFrame(off_rows, "_f string, _b int, _below long, _nf long")
+    long = long.join(F.broadcast(off_df), ["_f", "_b"])
 
     # 5. within-bucket count of rows with value <= current: RANGE frame
     w = (
@@ -125,11 +128,7 @@ def ecdf(
     )
     long = long.withColumn(
         "_ecdf",
-        (
-            F.coalesce(F.element_at(omap, F.concat(F.col("_f"), F.lit("#"), F.col("_b").cast("string"))), F.lit(0))
-            + F.count(F.lit(1)).over(w)
-        ).cast("double")
-        / F.element_at(nmap, F.col("_f")).cast("double"),
+        (F.col("_below") + F.count(F.lit(1)).over(w)).cast("double") / F.col("_nf").cast("double"),
     )
 
     # 6. pivot back to wide and join on the key (both sides already

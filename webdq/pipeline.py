@@ -143,8 +143,8 @@ def extract_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     heavy-tailed, xxhash64(url) is uniform)."""
     if cfg.salt_partitions:
         df = df.repartition(cfg.salt_partitions, F.xxhash64("url", F.lit(cfg.seed)))
-    df = textstats.heuristic_features(df)
-    df = scorers.model_features(df)
+    df = textstats.char_features(df)
+    df = scorers.all_scorer_features(df)  # one fused ArrowEvalPython
     df = scrub(df)
     return df.drop("html")
 

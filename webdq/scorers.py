@@ -231,6 +231,25 @@ def _perplexity_impl(text: pd.Series) -> pd.Series:
 perplexity_udf = pandas_udf(_perplexity_impl, T.DoubleType())
 
 
+def all_scorer_features(df, text_col: str = "text", lang_col: str = "lang"):
+    """token features + langid + perplexity in ONE projection so
+    Catalyst fuses the three independent pandas UDFs into a single
+    ArrowEvalPython node — one Python round trip per batch instead of
+    three (withColumn chains were observed to produce one node each)."""
+    t = F.col(text_col)
+    df = df.select(
+        "*",
+        token_features_udf(t).alias("_tf"),
+        langid_udf(t).alias("_lid"),
+        perplexity_udf(t).alias("_ppl"),
+    )
+    out = {f.name: F.col(f"_tf.{f.name}") for f in _TOKFEAT_SCHEMA.fields}
+    out["langid_conf"] = F.col("_lid.langid_conf")
+    out["lang_match"] = F.when(F.col("_lid.lang_pred") == F.col(lang_col), F.lit(1.0)).otherwise(F.lit(0.0))
+    out["perplexity"] = F.col("_ppl")
+    return df.withColumns(out).drop("_tf", "_lid", "_ppl")
+
+
 def model_features(df, text_col: str = "text", lang_col: str = "lang"):
     """Append langid_conf, lang_match, perplexity. One projection; the
     struct-returning UDF is evaluated once per batch."""
