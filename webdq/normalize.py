@@ -53,11 +53,55 @@ def ecdf(
     prefix: str = "u_",
     n_buckets: int = 64,
     rel_err: float = 0.001,
+    low_card_threshold: int = 65536,
 ) -> DataFrame:
-    """Exact, parallel ECDF for every column in ``cols`` (see module
-    docstring). Output column name: ``prefix + col`` (n_ stripped,
-    matching the reference's n_* → u_* renaming convention,
-    /root/reference/osmdq/utils.py:540-541)."""
+    """Exact, parallel ECDF for every column in ``cols``. Output column
+    name: ``prefix + col`` (n_ stripped, matching the reference's
+    n_* → u_* renaming, /root/reference/osmdq/utils.py:540-541).
+
+    Hybrid strategy:
+    - LOW-cardinality columns (≤ ``low_card_threshold`` distinct — int
+      counts, bounded ratios): one value-count aggregation, cumulative
+      sum on the driver, broadcast-joined (value → ecdf) map. Zero
+      shuffles of the big table, scales linearly. At 10^12 docs a
+      bounded feature like n_words stays low-cardinality forever.
+    - HIGH-cardinality columns (continuous scores): the bucketed
+      melt/window path below.
+    Both are exact: ECDF(x) = count(X ≤ x)/N."""
+    card_row = df.agg(
+        *[F.approx_count_distinct(c, 0.02).alias(c) for c in cols],
+        F.count(F.lit(1)).alias("_n"),
+    ).collect()[0]
+    n_rows = int(card_row["_n"])
+    low = [c for c in cols if int(card_row[c]) <= low_card_threshold * 0.9]
+    high = [c for c in cols if c not in low]
+
+    out = df
+    if low:
+        # ONE value-count job for all low-card columns (melt + groupBy)
+        stack_lo = ", ".join(f"'{c}', `{c}`" for c in low)
+        vc = (
+            df.select(F.expr(f"stack({len(low)}, {stack_lo}) as (_f, _v)"))
+            .groupBy("_f", "_v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        by_col: dict[str, list] = {c: [] for c in low}
+        for r in vc:
+            by_col[r["_f"]].append((r["_v"], int(r["cnt"])))
+        for c in low:
+            counts = sorted(by_col[c], key=lambda t: (t[0] is None, t[0]))
+            acc, rows = 0, []
+            for v, cnt in counts:
+                acc += cnt
+                if v is not None:
+                    rows.append((float(v), acc / n_rows))
+            dim = df.sparkSession.createDataFrame(rows, f"`{c}` double, `{prefix + c.removeprefix('n_')}` double")
+            out = out.join(F.broadcast(dim), on=c, how="left")
+    if not high:
+        return out
+    cols = high
+    df_high = out
     # 1. approximate bucket boundaries, one pass over the wide table
     qs = [i / n_buckets for i in range(1, n_buckets)]
     brow = df.agg(
@@ -142,4 +186,4 @@ def ecdf(
             *[F.col(c).alias(prefix + c.removeprefix("n_")) for c in cols],
         )
     )
-    return df.join(wide, on=df[key_col] == wide["_k"], how="inner").drop("_k")
+    return df_high.join(wide, on=df_high[key_col] == wide["_k"], how="inner").drop("_k")
