@@ -14,10 +14,17 @@ deltas computed on integer microseconds.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# make `webdq` importable no matter the driver's cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from webdq import normalize
 from webdq.pipeline import PipelineConfig, run_pipeline
