@@ -47,3 +47,20 @@ def test_ratio_normalize(spark):
     rows = normalize.ratio_normalize(df, ["n_x"], "total").collect()
     vals = sorted(r["r_x"] for r in rows)
     assert vals == [0.0, 0.2]
+
+
+def test_ecdf_paths_agree(spark):
+    """Force the bucketed path (low_card_threshold=1) and the broadcast
+    path (huge threshold) on the same columns — identical results."""
+    df = _ecdf_frames(spark).cache()
+    cols = ["n_chars", "n_words"]
+    a = (
+        normalize.ecdf(df, cols, key_col="url", low_card_threshold=1)
+        .toPandas().set_index("url").sort_index()
+    )
+    b = (
+        normalize.ecdf(df, cols, key_col="url", low_card_threshold=10_000_000)
+        .toPandas().set_index("url").sort_index()
+    )
+    for c in ["u_chars", "u_words"]:
+        assert (a[c] == b[c]).all(), c
