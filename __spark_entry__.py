@@ -249,7 +249,7 @@ SELECT l_returnflag, count(*) AS n_rows, count(DISTINCT l_suppkey) AS n_supp,
        min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
        round(avg(l_quantity), 4) AS avg_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-       sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -297,8 +297,8 @@ def q10_pivot(spark, sf_dir):
 
 SQL_10 = """
 SELECT l_returnflag,
-       sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS cnt_f,
-       sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS cnt_o,
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o,
        count(*) AS cnt_total
 FROM lineitem GROUP BY l_returnflag
 """
@@ -338,7 +338,13 @@ def q12_monthly_snapshot(spark, sf_dir):
     per_month = o.groupBy(F.last_day("d").alias("month_end")).agg(F.count(F.lit(1)).alias("c"))
     joined = grid.join(per_month, "month_end", "left").na.fill({"c": 0})
     w = Window.orderBy("month_end").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return joined.select("month_end", F.sum("c").over(w).alias("n_orders"))
+    # cast DATE→TIMESTAMP on both sides: Spark DATE reaches pandas as
+    # datetime.date objects while DuckDB DATE arrives as datetime64 —
+    # a type-class divergence the driver's hash may see
+    return joined.select(
+        F.col("month_end").cast("timestamp").alias("month_end"),
+        F.sum("c").over(w).alias("n_orders"),
+    )
 
 
 SQL_12 = """
@@ -346,7 +352,7 @@ WITH o AS (SELECT CAST(o_orderdate AS DATE) d FROM orders),
      b AS (SELECT date_trunc('month', min(d)) mn, date_trunc('month', max(d)) mx FROM o),
      grid AS (SELECT last_day(CAST(unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS DATE)) AS month_end FROM b),
      pm AS (SELECT last_day(d) month_end, count(*) c FROM o GROUP BY 1)
-SELECT grid.month_end, sum(coalesce(pm.c, 0)) OVER (ORDER BY grid.month_end) AS n_orders
+SELECT CAST(grid.month_end AS TIMESTAMP) AS month_end, CAST(sum(coalesce(pm.c, 0)) OVER (ORDER BY grid.month_end) AS BIGINT) AS n_orders
 FROM grid LEFT JOIN pm ON pm.month_end = grid.month_end
 """
 

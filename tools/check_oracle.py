@@ -45,11 +45,35 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class mirroring the driver's type-sensitive hash.
+    DuckDB HUGEINT (e.g. sum() of an integer) arrives as float64/object,
+    so an int-vs-float divergence flags exactly the bug class the float
+    cast used to mask (VERDICT r1 item 2)."""
+    dt = s.dtype
+    if np.issubdtype(dt, np.bool_):
+        return "bool"
+    if np.issubdtype(dt, np.integer):
+        return "int"
+    if np.issubdtype(dt, np.floating):
+        return "float"
+    if np.issubdtype(dt, np.datetime64):
+        return "ts"
+    return "other"
+
+
 def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
     if sorted(a.columns) != sorted(b.columns):
         return False, f"columns differ: spark={sorted(a.columns)} duck={sorted(b.columns)}"
     if len(a) != len(b):
         return False, f"row count differs: spark={len(a)} duck={len(b)}"
+    for c in sorted(a.columns):
+        ca, cb = _dtype_class(a[c]), _dtype_class(b[c])
+        if ca != cb:
+            return False, (
+                f"col {c}: dtype class differs: spark={a[c].dtype}({ca}) "
+                f"duck={b[c].dtype}({cb}) — driver's type-sensitive hash would fail"
+            )
     a, b = canon(a), canon(b)
     max_dev = 0.0
     for c in a.columns:
