@@ -145,23 +145,33 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
 # --------------------------------------------------------------------------
 
 def q04_gap_rank(spark, sf_dir):
+    """order_rank_avg is the pandas groupby().rank() AVERAGE-tie rank
+    the reference uses (/root/reference/osmdq/utils.py:371): for a tie
+    group of size c starting at min-rank r, every member gets
+    r + (c-1)/2 — i.e. the mean of the row_numbers across the tie.
+    Spark (and DuckDB) lack this built-in; both sides compute
+    rank() + (count-over-tie-key − 1)/2, which is algebraically the
+    same quantity (SURVEY §7.3.4)."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wr = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    wtie = Window.partitionBy("o_custkey", "o_orderdate")
     prev = F.lag("o_orderdate").over(w)
     return o.select(
         "o_orderkey",
         "o_custkey",
         F.round((_us(F.col("o_orderdate")) - _us(prev)) / 3.6e9, 6).alias("gap_hours"),
         F.rank().over(wr).alias("order_rank"),
+        (F.rank().over(wr) + (F.count(F.lit(1)).over(wtie) - 1) / 2.0).alias("order_rank_avg"),
     )
 
 
 SQL_04 = """
 SELECT o_orderkey, o_custkey,
        round((epoch_us(o_orderdate) - epoch_us(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))) / 3.6e9, 6) AS gap_hours,
-       rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS order_rank
-FROM orders
+       rank() OVER w AS order_rank,
+       rank() OVER w + (count(*) OVER (PARTITION BY o_custkey, o_orderdate) - 1) / 2.0 AS order_rank_avg
+FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
 """
 
 

@@ -44,6 +44,36 @@ def keep_map(centers: np.ndarray, cols: list[str], keep_top: int = 1) -> dict[in
     return {j: j in kept for j in range(len(s))}
 
 
+def keep_dim_plan(
+    clustered: DataFrame,
+    cols: list[str],
+    keep_top: int = 1,
+    cluster_col: str = "cluster",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """cluster → keep verdict as a PURE PLAN (no driver collect): one
+    aggregation to k rows, composite score as an expression, rank via
+    a window over the k-row frame (single tiny partition — k ≤ 16).
+    Same semantics as keep_map on collected centroids: rank by
+    -score, ties by cluster id; fused into the consumer's job graph so
+    label emission costs zero extra driver round-trips."""
+    weights = weights or QUALITY_WEIGHTS
+    agg = clustered.groupBy(cluster_col).agg(*[F.avg(c).alias(c) for c in cols])
+    score = F.lit(0.0)
+    for c in cols:
+        w = weights.get(c, 0.0)
+        if w:
+            score = score + F.lit(float(w)) * F.col(c)
+    from pyspark.sql import Window
+
+    rank_w = Window.orderBy(F.desc("_score"), F.asc(cluster_col))
+    return (
+        agg.withColumn("_score", score)
+        .withColumn("_r", F.row_number().over(rank_w))
+        .select(cluster_col, (F.col("_r") <= keep_top).alias("keep"))
+    )
+
+
 def attach_labels(
     spark: SparkSession, df: DataFrame, centers: np.ndarray, cols: list[str], keep_top: int = 1
 ) -> DataFrame:

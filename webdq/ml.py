@@ -237,6 +237,20 @@ class KMeansModel:
     iterations: int
 
 
+def init_sample_matrix(df: DataFrame, cols: list[str], key_col: str, init_sample: int) -> np.ndarray:
+    """The ``init_sample`` rows with smallest xxhash64(key) — a
+    deterministic, order/partition-independent pseudo-random sample
+    (distributed TopK, no global sort)."""
+    samp = (
+        df.select(F.xxhash64(F.col(key_col)).alias("_h"), *cols)
+        .orderBy("_h")
+        .limit(init_sample)
+        .drop("_h")
+        .collect()
+    )
+    return np.array([[float(r[c]) for c in cols] for r in samp])
+
+
 def kmeans_fit(
     df: DataFrame,
     cols: list[str],
@@ -248,6 +262,7 @@ def kmeans_fit(
     n_init: int = 10,
     seed: int = 42,
     compute_inertia: bool = False,
+    sample_X: np.ndarray | None = None,
 ) -> KMeansModel:
     """Deterministic distributed KMeans.
 
@@ -259,15 +274,11 @@ def kmeans_fit(
        sklearn n_init=100 semantics at sample scale).
     3. Distributed Lloyd refinement: each iteration = one hash
        aggregation producing k×(d+1) partial sums.
+
+    ``sample_X`` short-circuits step 1 so a k-sweep (auto_kmeans)
+    pays the distributed TopK once, not once per k.
     """
-    samp = (
-        df.select(F.xxhash64(F.col(key_col)).alias("_h"), *cols)
-        .orderBy("_h")
-        .limit(init_sample)
-        .drop("_h")
-        .collect()
-    )
-    X = np.array([[float(r[c]) for c in cols] for r in samp])
+    X = sample_X if sample_X is not None else init_sample_matrix(df, cols, key_col, init_sample)
     best, best_cost = None, math.inf
     for t in range(n_init):
         c0 = _kmeanspp_init(X, k, seed + t)
@@ -337,11 +348,13 @@ def auto_kmeans(
     (/root/reference/osmdq/analysis_tasks.py:809-873): fit KMeans for
     k ∈ [kmin−1, kmax+1], apply the elbow 2nd-derivative rule over the
     inertias of k ∈ [kmin, kmax], return (chosen k, all fitted models).
-    Each fit reuses the same persisted input; inertia is one
+    Each fit reuses the same persisted input AND the same init sample
+    (one distributed TopK for the whole sweep); inertia is one
     aggregation per k."""
+    X = init_sample_matrix(df, cols, key_col, int(fit_kw.get("init_sample", 4096)))
     models: dict[int, KMeansModel] = {}
     for k in range(nbmin_clusters - 1, nbmax_clusters + 2):
-        models[k] = kmeans_fit(df, cols, k=k, key_col=key_col, compute_inertia=True, **fit_kw)
+        models[k] = kmeans_fit(df, cols, k=k, key_col=key_col, compute_inertia=True, sample_X=X, **fit_kw)
     inertias = [models[k].inertia for k in range(nbmin_clusters, nbmax_clusters + 1)]
     best = compute_nb_clusters(inertias, nbmin_clusters)
     return best, models

@@ -160,8 +160,10 @@ def normalize_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return df
 
 
-def cluster_documents(df: DataFrame, cfg: PipelineConfig):
-    """min-max → PCA (auto-k) → KMeans. Returns (clustered df, models)."""
+def cluster_documents(df: DataFrame, cfg: PipelineConfig, persisted: list | None = None):
+    """min-max → PCA (auto-k) → KMeans. Returns (clustered df, models).
+    Registers its internal persist in ``persisted`` so the caller can
+    release it once the output is materialized."""
     missing = [c for c in CLUSTER_FEATURES if c not in df.columns]
     if missing:
         raise ValueError(f"cluster feature columns missing from input: {missing}")
@@ -175,6 +177,8 @@ def cluster_documents(df: DataFrame, cfg: PipelineConfig):
     # only (url, features, pc_*) hot — equivalent to the reference
     # persisting /individuals between tasks (analysis_tasks.py:632-635).
     proj = ml.pca_project(scaled, pca).select("url", *feats, *pc_cols).persist()
+    if persisted is not None:
+        persisted.append(proj)
     fit_kw = dict(max_iter=cfg.kmeans_max_iter, init_sample=cfg.kmeans_init_sample, seed=cfg.seed)
     if cfg.k_auto:
         # reference AutoKMeans: sweep k, pick by elbow 2nd derivative
@@ -203,29 +207,13 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig | No
     feats_df = runner.run("features", lambda: extract_features(pages, cfg))
     norm_df = runner.run("normalized", lambda: normalize_features(feats_df, cfg))
 
-    clustered, feats, stats, pca, km = cluster_documents(norm_df, cfg)
-    # quality composite is defined on the scaled feature space → score
-    # centroids in ORIGINAL feature axes by inverse-projecting? No —
-    # rank clusters by the mean scaled features of their members (one
-    # aggregation), which is exact and cheap.
-    scaled_cols = [c for c in feats]
-    # `clustered` feature columns are already min-max scaled by
-    # cluster_documents — rank clusters on their mean scaled features.
-    centroid_rows = (
-        clustered.groupBy("cluster")
-        .agg(*[F.avg(c).alias(c) for c in scaled_cols])
-        .orderBy("cluster")
-        .collect()
-    )
-    import numpy as np
-
-    k_present = [int(r["cluster"]) for r in centroid_rows]
-    centers = np.array([[float(r[c]) for c in scaled_cols] for r in centroid_rows])
-    km_map = label_mod.keep_map(centers, scaled_cols, cfg.keep_top)
-    dim = spark.createDataFrame(
-        [(k_present[i], bool(km_map[i])) for i in range(len(k_present))],
-        schema="cluster int, keep boolean",
-    )
+    clustered, feats, stats, pca, km = cluster_documents(norm_df, cfg, persisted=runner._persisted)
+    # Rank clusters by the mean scaled features of their members
+    # (`clustered` feature columns are already min-max scaled). This is
+    # a PURE PLAN (label_mod.keep_dim_plan): the k-row aggregate +
+    # window rank fuse into the label job — no driver collect, one
+    # fewer synchronous round trip (the non-scaling cost, VERDICT r1).
+    dim = label_mod.keep_dim_plan(clustered, list(feats), cfg.keep_top)
     labels = (
         clustered.join(F.broadcast(dim), on="cluster", how="left")
         .na.fill({"keep": False})
@@ -236,5 +224,15 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig | No
         .select("url", "cluster", "keep", "scrubbed_text")
     )
     labels = runner.run("labels", lambda: labels)
+    if not cfg.workdir:
+        # runner.run persisted `labels` lazily; materialize it once so
+        # every upstream cache (features, normalized, pca projection)
+        # can be released — a long-lived session driving many pipelines
+        # must not accrue executor memory (VERDICT r1 item 3).
+        labels.count()
+        for df_ in runner._persisted:
+            if df_ is not labels:
+                df_.unpersist()
+        runner._persisted = [labels]
     runner.flush_metrics()
     return labels

@@ -48,8 +48,19 @@ def score_stream(
     Every operator here is row-local, so the streaming plan has no
     shuffle at all — it scales with input rate."""
     df = scrub(model_features(token_features(char_features(pages))))
-    scaled = ml.minmax_scale(df, [c for c in feature_cols if c in df.columns], stats)
-    out = ml.kmeans_assign(scaled, [c for c in feature_cols if c in scaled.columns], centers, out="cluster")
+    missing = [c for c in feature_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"feature_cols not computable in the streaming plan: {missing} "
+            "(ECDF u_* columns are batch-only; pass stream-computable features)"
+        )
+    if len(feature_cols) != centers.shape[1]:
+        raise ValueError(
+            f"centers have width {centers.shape[1]} but {len(feature_cols)} feature_cols "
+            "were given — column i must align with centroid coordinate i"
+        )
+    scaled = ml.minmax_scale(df, feature_cols, stats)
+    out = ml.kmeans_assign(scaled, feature_cols, centers, out="cluster")
     keep = F.col("cluster").isin(*[int(k) for k in keep_clusters]) if keep_clusters else F.lit(False)
     return out.select("url", "warc_ts", "cluster", keep.alias("keep"), "scrubbed_text")
 

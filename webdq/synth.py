@@ -68,22 +68,25 @@ def _pick_words(vocab: list[str], n_words: Column, *, seed: str) -> Column:
     )
 
 
-def tier_col() -> Column:
-    r = F.pmod(_h("tier", F.col("id")), F.lit(100))
+def tier_col(of: Column | None = None) -> Column:
+    r = F.pmod(_h("tier", of if of is not None else F.col("id")), F.lit(100))
     expr = F.lit(TIER_FOREIGN)
     for cut, tier in reversed(_TIER_CUTS[:-1]):
         expr = F.when(r < cut, F.lit(tier)).otherwise(expr)
     return expr.cast("int")
 
 
-def generate_pages(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+def generate_pages(
+    spark: SparkSession, n_rows: int, partitions: int | None = None, tier_by_host: bool = False
+) -> DataFrame:
     """Build the pages table (url, warc_ts, html, text, lang, _tier).
 
     ``_tier`` is the latent ground-truth tier, used only by tests; the
-    pipeline never reads it.
-    """
+    pipeline never reads it. With ``tier_by_host`` the tier is a
+    function of the HOST (all pages of a host share a quality tier) —
+    the fixture for the two-level host-labeling pipeline (the
+    reference's users→elements shape, utils.py:332-341)."""
     df = spark.range(0, n_rows, 1, partitions or max(4, n_rows // 25_000))
-    tier = tier_col()
 
     # Heavy-tailed host distribution: ~60% of pages live on 10 hot
     # hosts, the rest spread over 5000 — exercises salting/AQE skew.
@@ -91,6 +94,7 @@ def generate_pages(spark: SparkSession, n_rows: int, partitions: int | None = No
     host = F.when(F.pmod(hh, 100) < 60, F.pmod(_h("hot", F.col("id")), 10)).otherwise(
         F.pmod(_h("cold", F.col("id")), 5000) + 10
     )
+    tier = tier_col(host) if tier_by_host else tier_col()
 
     n_clean = (F.pmod(_h("len", F.col("id")), 41) + 80).cast("int")  # 80..120 words
     n_boiler = (F.pmod(_h("len", F.col("id")), 21) + 20).cast("int")  # 20..40
