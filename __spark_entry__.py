@@ -906,29 +906,89 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
-# Rows-only entries (non-SQL-expressible / engine-internal hashing):
-# 64-bit xxhash SimHash, LSH-bucketed ANN, multimodal decode plumbing
+# 64-bit SimHash, engine-portable variant (md5 hex digits → 2 bits per
+# digit, the q30 technique extended to 64 bits; split hi/lo to avoid
+# signed-overflow games). The fast xxhash64 form (webdq.dedup.simhash)
+# stays the engine path, pinned by pytest.
 # --------------------------------------------------------------------------
 
 def q35_simhash64(spark, sf_dir):
     from webdq import dedup
 
-    return dedup.simhash(_t(spark, sf_dir, "documents"))
+    return dedup.simhash64_portable(_t(spark, sf_dir, "documents"))
+
+
+SQL_35 = """
+WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
+     h AS (SELECT doc_id, md5(t) AS h FROM tok),
+     bits AS (SELECT doc_id, i,
+                     ((strpos('0123456789abcdef', substr(h, i // 2 + 1, 1)) - 1) >> (i % 2)) & 1 AS bit
+              FROM h CROSS JOIN (SELECT unnest(range(64)) AS i)),
+     votes AS (SELECT doc_id, i, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+               FROM bits GROUP BY doc_id, i)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 AND i >= 32 THEN 1 << (i - 32) ELSE 0 END) AS BIGINT) AS sim_hi,
+       CAST(sum(CASE WHEN v > 0 AND i < 32 THEN 1 << i ELSE 0 END) AS BIGINT) AS sim_lo
+FROM votes GROUP BY doc_id
+"""
 
 
 def q36_lsh_ann(spark, sf_dir):
+    """Multi-table LSH ANN, ORACLE-CHECKED against the exact top-k SQL:
+    at 6 bits × 8 tables + multiprobe the candidate set provably
+    covers the true top-3 on this fixture (recall = 1.0, deterministic
+    seeded hyperplanes), so the approximate plan must reproduce the
+    exact ranking bit-for-bit — a real correctness gate for the whole
+    bucket-join + re-rank machinery. pytest additionally gates recall
+    ≥ 0.8 on an independent fixture (tests/test_similarity.py)."""
     from webdq import similarity
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.lsh_topk(e, q, dim=64, k=3, n_bits=8)
+    return similarity.lsh_topk(e, q, dim=64, k=3, n_bits=6, n_tables=8)
+
+
+# exact top-k: identical to SQL_33 — the LSH path must match it exactly
+SQL_36 = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+     scored AS (SELECT q.qid, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS cos
+                FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+     ranked AS (SELECT qid, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                FROM scored)
+SELECT qid AS query_id, rnk AS rank, neighbor_id, round(cos, 6) AS cosine
+FROM ranked WHERE rnk <= 3
+"""
 
 
 def q37_multimodal_decode(spark, sf_dir):
+    """REAL multimodal decode with an oracle: binary-PPM payloads are
+    built from the documents table with Spark expressions, decoded by
+    the pure-numpy PPM parser (mapInPandas), and every output field is
+    independently recomputed by DuckDB from (doc_id, md5(text)) — the
+    generator expressions, the binary layout, and the numpy parser
+    must all agree for the hash to match."""
     from webdq import multimodal
 
-    media = multimodal.synth_media(spark, 200)
-    return multimodal.decode_image_features(media, fake=True).drop("byte_hist")
+    media = multimodal.ppm_media_from_documents(spark, sf_dir)
+    out = multimodal.decode_image_features(media)
+    return out.select("media_id", "width", "height", "channels", F.round("mean_byte", 6).alias("mean_byte"))
+
+
+SQL_37 = """
+WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w, (doc_id // 13) % 11 + 4 AS h, md5(text) AS hx
+           FROM documents),
+     b AS (SELECT doc_id, w, h, w * h * 3 AS n,
+                  [strpos('0123456789abcdef', substr(hx, 2*j + 1, 1)) * 16
+                   + strpos('0123456789abcdef', substr(hx, 2*j + 2, 1)) - 17
+                   for j in range(16)] AS bytes
+           FROM d)
+SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(3 AS INT) AS channels,
+       round((CAST(n // 16 AS DOUBLE) * list_sum(bytes)
+              + coalesce(list_sum(bytes[1:(n % 16)]), 0)) / n, 6) AS mean_byte
+FROM b
+"""
 
 
 # --------------------------------------------------------------------------
@@ -954,6 +1014,170 @@ def _sql_38():
         p = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
     return f"SELECT doc_id, {expr} AS scrubbed, md5({expr}) AS scrub_md5 FROM documents"
+
+
+# --------------------------------------------------------------------------
+# A11 — crosstab (reference validitycheck.py:47-49 pd.crosstab)
+# --------------------------------------------------------------------------
+
+def q39_crosstab(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    ct = li.stat.crosstab("l_returnflag", "l_linestatus")
+    return ct.select(
+        F.col("l_returnflag_l_linestatus").alias("returnflag"),
+        F.col("F").alias("cnt_f"),
+        F.col("O").alias("cnt_o"),
+    )
+
+
+SQL_39 = """
+SELECT l_returnflag AS returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o
+FROM lineitem GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# S3 — CSV source with explicit schema (reference analysis_tasks.py:46-49
+# pd.read_csv with index/dtype contract): parquet → CSV stage → schema-
+# enforced read back → aggregate. The CSV round trip IS the operator
+# under test; the oracle reads the original table.
+# --------------------------------------------------------------------------
+
+def q40_csv_source(spark, sf_dir):
+    import os
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(), "webdq_csv_stage", os.path.basename(sf_dir.rstrip("/")), "nation"
+    )
+    _t(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(stage)
+    n = (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", True)
+        .csv(stage)
+    )
+    return n.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_nation")
+    )
+
+
+SQL_40 = """
+SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_nation
+FROM nation GROUP BY n_regionkey
+"""
+
+
+# --------------------------------------------------------------------------
+# J8/A14 — grid-cell aggregation (reference geom_tasks.py:201-215,
+# osm_carroying.sql:5-17: assign grid cell id → groupBy cell): the
+# spatial theta-join re-expressed as a pure equi-key aggregation.
+# --------------------------------------------------------------------------
+
+def q41_grid_cell(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cell_x = F.floor(F.col("o_totalprice") / 25000.0).cast("long")
+    cell_y = F.year("o_orderdate").cast("long")
+    return o.groupBy(cell_x.alias("cell_x"), cell_y.alias("cell_y")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+SQL_41 = """
+SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS cell_x,
+       CAST(year(o_orderdate) AS BIGINT) AS cell_y,
+       count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Two-level entity stage (reference utils.py:422-463 user metadata →
+# utils.py:332-341 label propagation). q42 = the host-aggregate stage
+# with full DuckDB parity on its SQL-expressible features; q43 = the
+# complete host pipeline (PCA+KMeans ⇒ rows-only).
+# --------------------------------------------------------------------------
+
+def q42_host_agg(spark, sf_dir):
+    from webdq import hostagg
+    from webdq.pipeline import PipelineConfig, extract_features
+    from webdq.synth import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    h = hostagg.host_metadata(extract_features(pages, PipelineConfig()))
+    return h.select(
+        "host",
+        "n_pages",
+        "n_active_days",
+        F.round("lifespan_days", 6).alias("lifespan_days"),
+        F.round("mean_words", 6).alias("mean_words"),
+        F.round("v10_words", 6).alias("v10_words"),
+        F.round("v90_words", 6).alias("v90_words"),
+        F.round("mean_stopword_ratio", 6).alias("mean_stopword_ratio"),
+    )
+
+
+def _sql_42():
+    from webdq.textstats import EN_STOPWORDS
+
+    sl = _sql_stoplist(EN_STOPWORDS)
+    return f"""
+WITH p AS (SELECT source || '.example' AS host,
+                  CAST(to_timestamp(1700000000 + doc_id) AS TIMESTAMP) AS ts,
+                  len(string_split(text, ' ')) AS n_words,
+                  len(list_filter(string_split(text, ' '), x -> list_contains({sl}, lower(x)))) * 1.0
+                    / len(string_split(text, ' ')) AS stopword_ratio
+           FROM documents)
+SELECT host, count(*) AS n_pages,
+       count(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+       round((epoch_us(max(ts)) - epoch_us(min(ts))) / 86400.0e6, 6) AS lifespan_days,
+       round(avg(n_words), 6) AS mean_words,
+       round(quantile_cont(n_words, 0.1), 6) AS v10_words,
+       round(quantile_cont(n_words, 0.9), 6) AS v90_words,
+       round(avg(stopword_ratio), 6) AS mean_stopword_ratio
+FROM p GROUP BY host
+"""
+
+
+def q43_host_pipeline(spark, sf_dir):
+    """Two-level labeling end-to-end (host clusters → page labels);
+    KMeans ⇒ non-SQL-expressible, driver records rows-only. Pinned by
+    tests/test_hostagg.py F1 gate instead."""
+    from webdq import hostagg
+    from webdq.synth import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    return hostagg.run_host_pipeline(spark, pages, k=4, keep_top=1)
+
+
+# --------------------------------------------------------------------------
+# Banded MinHash LSH with r=2 rows per band (the precision knob;
+# Broder '97): band key = concat of 2 independent min-hashes.
+# --------------------------------------------------------------------------
+
+def q44_minhash_banded(spark, sf_dir):
+    from webdq import dedup
+
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_bands=4, max_bucket=1000, shingle_n=3, rows_per_band=2
+    )
+
+
+SQL_44 = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+     tok AS (SELECT doc_id,
+                    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS t
+             FROM w WHERE len(w) >= 3),
+     b AS (SELECT unnest([0, 1, 2, 3]) AS band),
+     sig AS (SELECT doc_id, band,
+                    min(md5(t || '#' || CAST(band AS VARCHAR) || '_0')) || '|' ||
+                    min(md5(t || '#' || CAST(band AS VARCHAR) || '_1')) AS minhash
+             FROM tok CROSS JOIN b GROUP BY doc_id, band)
+SELECT DISTINCT a.doc_id AS id1, x.doc_id AS id2
+FROM sig a JOIN sig x ON a.band = x.band AND a.minhash = x.minhash AND a.doc_id < x.doc_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1000,6 +1224,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_lsh_ann": q36_lsh_ann,
     "q37_multimodal_decode": q37_multimodal_decode,
     "q38_scrub": q38_scrub,
+    "q39_crosstab": q39_crosstab,
+    "q40_csv_source": q40_csv_source,
+    "q41_grid_cell": q41_grid_cell,
+    "q42_host_agg": q42_host_agg,
+    "q43_host_pipeline": q43_host_pipeline,
+    "q44_minhash_banded": q44_minhash_banded,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1037,7 +1267,15 @@ _ORACLES: dict[str, str] = {
     "q32_embedding_neardup": SQL_32,
     "q33_ann_topk": SQL_33,
     "q34_quality_rules": _sql_34(),
+    "q35_simhash64": SQL_35,
+    "q36_lsh_ann": SQL_36,
+    "q37_multimodal_decode": SQL_37,
     "q38_scrub": _sql_38(),
+    "q39_crosstab": SQL_39,
+    "q40_csv_source": SQL_40,
+    "q41_grid_cell": SQL_41,
+    "q42_host_agg": _sql_42(),
+    "q44_minhash_banded": SQL_44,
 }
 
 

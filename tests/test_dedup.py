@@ -85,3 +85,45 @@ def test_embedding_neardup_and_cosine(spark):
     assert (1, 3) not in out and (1, 4) not in out
     exp = 0.999 / np.sqrt(0.999**2 + 0.04**2)
     assert abs(out[(1, 2)] - round(exp, 6)) < 1e-9
+
+
+def test_minhash_banding_precision(spark):
+    """r rows/band is the precision knob: exact duplicates always
+    collide at any r; banded (r=2) candidates are a subset of r=1
+    candidates (P(collide)=s^r per band); near-identical docs
+    survive banding."""
+    from pyspark.sql import Row
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    docs = [
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base),  # exact dup of 0
+        Row(doc_id=2, text=base.replace("today", "tonight")),  # near dup
+        Row(doc_id=3, text="completely different words about spark partitions and shuffles everywhere"),
+        Row(doc_id=4, text="another unrelated document mentioning the fox only once in passing"),
+    ]
+    df = spark.createDataFrame(docs)
+    p1 = {(r["id1"], r["id2"]) for r in dedup.minhash_lsh_pairs(df, n_bands=8, shingle_n=1).collect()}
+    p2 = {(r["id1"], r["id2"]) for r in dedup.minhash_lsh_pairs(df, n_bands=8, shingle_n=1, rows_per_band=2).collect()}
+    assert (0, 1) in p1 and (0, 1) in p2  # exact dups always pair
+    assert (0, 2) in p2 and (1, 2) in p2  # near dups survive r=2
+    assert p2 <= p1  # banding can only drop candidates
+    # the weak single-shared-word tie must not survive 2 rows/band on
+    # every band with near-certainty; p1 is allowed to contain it
+    assert (0, 4) not in p2
+
+
+def test_simhash64_portable_matches_xxhash_structure(spark):
+    """Portable md5 simhash: identical texts → identical (hi, lo);
+    fingerprints reconstruct to 64 distinct bits."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="alpha beta gamma delta"), Row(doc_id=1, text="alpha beta gamma delta"),
+         Row(doc_id=2, text="totally different content here")]
+    )
+    rows = {r["doc_id"]: (r["sim_hi"], r["sim_lo"]) for r in dedup.simhash64_portable(df).collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
+    for hi, lo in rows.values():
+        assert 0 <= hi < 1 << 32 and 0 <= lo < 1 << 32

@@ -66,20 +66,36 @@ def _shingles(text_col: str, n: int):
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bands: int = 8, shingle_n: int = 1
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 8,
+    shingle_n: int = 1,
+    rows_per_band: int = 1,
 ) -> DataFrame:
-    """One row per (id, band, minhash): minhash_b = min over the doc's
-    distinct shingles of md5(shingle || '#' || b). md5 keeps the
-    signature reproducible by any engine (oracle parity). shingle_n>1
-    (word n-grams) makes collisions track resemblance instead of
-    shared vocabulary."""
+    """One row per (id, band, minhash). With ``rows_per_band`` = r > 1
+    the band key is the concatenation of r independent min-hashes
+    (hash seed ``b_r``): a bucket collision then requires ALL r rows to
+    agree — P(collide) = s^r per band, 1-(1-s^r)^b overall (the
+    standard banded-LSH precision/recall knob, Broder '97 /
+    Leskovec-Rajaraman-Ullman ch.3). r=1 keeps the original one-hash
+    signature. md5 keeps signatures reproducible by any engine
+    (oracle parity). shingle_n>1 (word n-grams) makes collisions track
+    resemblance instead of shared vocabulary."""
     toks = _shingles(text_col, shingle_n)
     bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks")).select("doc_id", "_toks", bands)
-    sig = F.array_min(
-        F.transform(F.col("_toks"), lambda t: F.md5(F.concat(t, F.lit("#"), F.col("band").cast("string"))))
-    )
-    return base.select("doc_id", "band", sig.alias("minhash")).filter(F.col("minhash").isNotNull())
+
+    def row_min(r: int):
+        # r=1 keeps the legacy seed "band" (oracle SQL_28/29 parity);
+        # r>1 seeds each row "band_r"
+        seed_suffix = f"_{r}" if rows_per_band > 1 else ""
+        seed = F.concat(F.col("band").cast("string"), F.lit(seed_suffix))
+        return F.array_min(F.transform(F.col("_toks"), lambda t: F.md5(F.concat(t, F.lit("#"), seed))))
+
+    sig = row_min(0) if rows_per_band == 1 else F.concat_ws("|", *[row_min(r) for r in range(rows_per_band)])
+    out = base.select("doc_id", "band", sig.alias("minhash"))
+    return out.filter(F.col("minhash").isNotNull() & (F.col("minhash") != ""))
 
 
 def minhash_lsh_pairs(
@@ -89,12 +105,14 @@ def minhash_lsh_pairs(
     n_bands: int = 8,
     max_bucket: int = 50,
     shingle_n: int = 1,
+    rows_per_band: int = 1,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, minhash)
     bucket. Buckets larger than ``max_bucket`` are dropped (a bucket of
     b docs yields b² pairs — at web scale a stopword-like bucket would
-    dominate the join; the cap is the standard LSH skew guard)."""
-    sig = minhash_signatures(df, id_col, text_col, n_bands, shingle_n)
+    dominate the join; the cap is the standard LSH skew guard).
+    ``rows_per_band`` tunes precision (see minhash_signatures)."""
+    sig = minhash_signatures(df, id_col, text_col, n_bands, shingle_n, rows_per_band)
     cnt = Window.partitionBy("band", "minhash")
     sig = sig.withColumn("_n", F.count(F.lit(1)).over(cnt)).filter(F.col("_n") <= max_bucket).drop("_n")
     a = sig.alias("a")
@@ -127,6 +145,28 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     for i in range(bits):
         fp = fp + F.when(F.col(f"v{i}") > 0, mask(i)).otherwise(F.lit(0).cast("long"))
     return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash64_portable(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Engine-portable 64-bit SimHash: token hash = the 32 hex digits
+    of md5(token), 2 bits per digit (bit 2i = digit&1, bit 2i+1 =
+    (digit>>1)&1), so any engine with md5 reproduces the fingerprint
+    exactly (the oracle-parity variant of ``simhash``, extending the
+    q30 16-bit technique to 64 bits). Output is split into two 32-bit
+    halves (sim_hi = bits 32..63, sim_lo = bits 0..31) as BIGINTs to
+    stay overflow-free in engines without unsigned 64-bit."""
+    toks = _tokens(text_col)
+    ex = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("_t")).withColumn("h", F.md5("_t"))
+    hexv = "0123456789abcdef"
+    digits = [F.instr(F.lit(hexv), F.substring(F.col("h"), d + 1, 1)) - 1 for d in range(32)]
+    bits = [F.shiftright(digits[i // 2], i % 2).bitwiseAND(F.lit(1)) for i in range(64)]
+    votes = [F.sum(F.when(bits[i] == 1, 1).otherwise(-1)).alias(f"v{i}") for i in range(64)]
+    agg = ex.groupBy("doc_id").agg(*votes)
+    lo, hi = F.lit(0).cast("long"), F.lit(0).cast("long")
+    for i in range(32):
+        lo = lo + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        hi = hi + F.when(F.col(f"v{i + 32}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", hi.alias("sim_hi"), lo.alias("sim_lo"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:

@@ -1,15 +1,18 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) column plumbing + pure-numpy codecs.
 
 Media travel as opaque ``binary`` columns with typed metadata — the
 pages table's ``html`` column is the text-modality instance of the
 same pattern. The Spark-side machinery here is REAL and tested:
 schemas, partition-preserving ``mapInPandas`` batch transforms, Arrow
-batch shapes, deterministic outputs. The codec step itself is STUBBED
-(this container has no image/audio libraries): ``decode_image``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic header parse + byte-histogram stands in for a real
-decoder — swap ``_decode_one`` for PIL/ffmpeg and nothing else
-changes.
+batch shapes, deterministic outputs.
+
+Codecs: the container has no PIL/libvips/ffmpeg, so the REAL decoders
+cover the public uncompressed formats a pure-numpy parser can handle —
+binary PPM (P6) images and RIFF/WAVE PCM16 audio. Compressed formats
+(JPEG/PNG magic) raise ``NotImplementedError`` at the same seam: swap
+``_decode_one`` / ``_decode_wav`` internals for PIL/ffmpeg and nothing
+else changes. The legacy ``WDQ0`` synthetic container remains for the
+video frame-sampling plumbing (``fake=True`` parses its header).
 """
 
 from __future__ import annotations
@@ -37,7 +40,19 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("channels", T.IntegerType(), True),
+        T.StructField("mean_byte", T.DoubleType(), True),
         T.StructField("byte_hist", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
     ]
 )
 
@@ -75,24 +90,53 @@ def synth_media(spark, n: int, partitions: int = 8) -> DataFrame:
     )
 
 
-def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, int, np.ndarray]:
-    if payload is None or len(payload) < 16 or payload[:4] != b"WDQ0":
-        return 0, 0, 0, np.zeros(16, dtype=np.float32)
-    if not fake:
-        # Real decoder (PIL / libvips / ffmpeg) goes here.
-        raise NotImplementedError("image decoding requires PIL/libvips — not available in this container")
-    w = int(payload[4:8])
-    h = int(payload[8:12])
-    ch = int(payload[12:14])
-    body = np.frombuffer(payload[16:], dtype=np.uint8)
+def _hist16(body: np.ndarray) -> np.ndarray:
     hist = np.bincount(body >> 4, minlength=16).astype(np.float32)
     s = hist.sum()
-    return w, h, ch, hist / s if s else hist
+    return hist / s if s else hist
 
 
-def decode_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
-    """payload → (width, height, channels, 16-bin byte histogram) via
-    ``mapInPandas`` (iterator of Arrow batches; constant memory)."""
+def _decode_ppm(payload: bytes) -> tuple[int, int, int, float, np.ndarray]:
+    """REAL binary-PPM (P6) parser, pure numpy: ASCII header
+    'P6 <w> <h> <maxval>' (any whitespace, # comments allowed), one
+    whitespace byte, then raw RGB."""
+    import re
+
+    m = re.match(rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
+        return 0, 0, 0, 0.0, np.zeros(16, dtype=np.float32)
+    w, h = int(m.group(1)), int(m.group(2))
+    body = np.frombuffer(payload, dtype=np.uint8, count=min(w * h * 3, len(payload) - m.end()), offset=m.end())
+    return w, h, 3, float(body.mean()) if len(body) else 0.0, _hist16(body)
+
+
+def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, int, float, np.ndarray]:
+    zeros = (0, 0, 0, 0.0, np.zeros(16, dtype=np.float32))
+    if payload is None or len(payload) < 8:
+        return zeros
+    payload = bytes(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"\xff\xd8" or payload[:4] == b"\x89PNG":
+        # Compressed-format seam: swap in PIL/libvips here.
+        raise NotImplementedError("JPEG/PNG decoding requires PIL/libvips — not available in this container")
+    if payload[:4] == b"WDQ0":
+        if not fake:
+            raise NotImplementedError("WDQ0 is the synthetic container; decode with fake=True")
+        w = int(payload[4:8])
+        h = int(payload[8:12])
+        ch = int(payload[12:14])
+        body = np.frombuffer(payload[16:], dtype=np.uint8)
+        return w, h, ch, float(body.mean()) if len(body) else 0.0, _hist16(body)
+    return zeros
+
+
+def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """payload → (width, height, channels, mean_byte, 16-bin byte
+    histogram) via ``mapInPandas`` (iterator of Arrow batches; constant
+    memory). PPM (P6) is decoded for real (pure numpy); JPEG/PNG raise
+    at the codec seam; ``fake=True`` additionally parses the synthetic
+    WDQ0 container."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -103,11 +147,130 @@ def decode_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
                     "width": [r[0] for r in rows],
                     "height": [r[1] for r in rows],
                     "channels": [r[2] for r in rows],
-                    "byte_hist": [r[3] for r in rows],
+                    "mean_byte": [r[3] for r in rows],
+                    "byte_hist": [r[4] for r in rows],
                 }
             )
 
     return df.select("media_id", "payload").mapInPandas(gen, IMAGE_FEATURES_SCHEMA)
+
+
+# ------------------------------------------------------------------ PPM
+
+def ppm_media_from_documents(spark, sf_dir: str) -> DataFrame:
+    """REAL binary-PPM image payloads derived deterministically from
+    the driver's documents table, built entirely with Spark
+    expressions: header 'P6\\n{w:04d} {h:04d}\\n255\\n' + raw RGB body
+    whose bytes cycle md5(text). Size varies per doc (w ∈ 4..16,
+    h ∈ 4..14) so the decoder's header parse is exercised for real;
+    every field of the decode output is independently recomputable
+    from (doc_id, md5(text)) — the q37 DuckDB oracle does exactly
+    that."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = (F.col("doc_id") % 13 + 4).cast("int")
+    h = (F.floor(F.col("doc_id") / 13) % 11 + 4).cast("int")
+    body_len = (w * h * 3).cast("int")
+    # 42 md5 repeats = 672 bytes ≥ max body (16*14*3)
+    body = F.expr("substring(unhex(repeat(md5(text), 42)), 1, ((doc_id % 13 + 4) * (CAST(floor(doc_id / 13) AS BIGINT) % 11 + 4) * 3))")
+    header = F.concat(
+        F.lit("P6\n"),
+        F.lpad(w.cast("string"), 4, "0"),
+        F.lit(" "),
+        F.lpad(h.cast("string"), 4, "0"),
+        F.lit("\n255\n"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.concat(F.encode(header, "UTF-8"), body).alias("payload"),
+        F.create_map(F.lit("source"), F.lit("documents-ppm")).alias("meta"),
+    )
+
+
+# ------------------------------------------------------------------ WAV
+
+def synth_wav_media(spark, n: int, partitions: int = 8, sample_rate: int = 8000) -> DataFrame:
+    """REAL RIFF/WAVE PCM16 payloads, generated deterministically per
+    media_id inside ``mapInPandas`` (numpy sine + id-seeded phase) —
+    byte-valid WAV files parseable by the python stdlib ``wave``
+    module (pinned by tests)."""
+    import struct
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for mid in b["id"]:
+                n_samp = 400 + int(mid) % 800
+                freq = 100.0 + (int(mid) * 37) % 900
+                t = np.arange(n_samp) / sample_rate
+                pcm = (np.sin(2 * np.pi * freq * t) * 12000).astype("<i2")
+                data = pcm.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                payloads.append(hdr + data)
+            yield pd.DataFrame(
+                {
+                    "media_id": b["id"].to_numpy(),
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "meta": [{"source": "synth-wav"}] * len(b),
+                }
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, float, float]:
+    """Pure-numpy RIFF/WAVE PCM16 parser: walks the chunk list to
+    'fmt ' and 'data' (the real container layout, not a fixed offset)."""
+    import struct
+
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return 0, 0, 0, 0.0, 0.0
+    pos, rate, n_ch, bits = 12, 0, 0, 16
+    data = b""
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            _, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz % 2)
+    if not rate or not n_ch or bits != 16:
+        return 0, 0, 0, 0.0, 0.0
+    pcm = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    n_samples = len(pcm) // n_ch
+    dur = n_samples / rate
+    rms = float(np.sqrt((pcm**2).mean())) if len(pcm) else 0.0
+    return rate, n_ch, n_samples, dur, rms
+
+
+def decode_audio_features(df: DataFrame) -> DataFrame:
+    """payload → (sample_rate, n_channels, n_samples, duration_s, rms)
+    via ``mapInPandas`` — real WAV parsing, no audio library needed."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [_decode_wav(bytes(p) if p is not None else None) for p in b["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"].to_numpy(),
+                    "sample_rate": [r[0] for r in rows],
+                    "n_channels": [r[1] for r in rows],
+                    "n_samples": [r[2] for r in rows],
+                    "duration_s": [r[3] for r in rows],
+                    "rms": [r[4] for r in rows],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(gen, AUDIO_FEATURES_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:

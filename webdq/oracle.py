@@ -150,6 +150,60 @@ def reference_labels(pages: pd.DataFrame, k: int = 5, keep_top: int = 1) -> pd.D
     return pd.DataFrame({"url": pages["url"].to_numpy(), "cluster": lab, "keep": [j in kept for j in lab]})
 
 
+def reference_host_labels(pages: pd.DataFrame, k: int = 4, keep_top: int = 1) -> pd.DataFrame:
+    """Two-level oracle (reference users→elements shape,
+    /root/reference/osmdq/utils.py:332-341): per-HOST aggregate
+    metadata → ECDF/min-max/PCA/KMeans over hosts → keep per host
+    cluster → every page labeled by its host's verdict. Independent
+    eager-pandas re-derivation of webdq.hostagg."""
+    from .hostagg import HOST_CLUSTER_FEATURES, HOST_ECDF_FEATURES, HOST_QUALITY_WEIGHTS
+
+    feats = features_pd(pages)
+    feats["host"] = pages["url"].str.extract(r"^[a-z]+://([^/]+)/")[0].to_numpy()
+    feats["warc_ts"] = pd.to_datetime(pages["warc_ts"].to_numpy())
+    g = feats.groupby("host")
+    ts = g["warc_ts"]
+    h = pd.DataFrame(
+        {
+            "n_pages": g.size(),
+            "n_active_days": g["warc_ts"].apply(lambda s: s.dt.date.nunique()),
+            "lifespan_days": (ts.max() - ts.min()).dt.total_seconds() / 86400.0,
+            "mean_words": g["n_words"].mean(),
+            "v10_words": g["n_words"].quantile(0.1),
+            "v90_words": g["n_words"].quantile(0.9),
+            "mean_stopword_ratio": g["stopword_ratio"].mean(),
+            "mean_symbol_ratio": g["symbol_ratio"].mean(),
+            "mean_digit_ratio": g["digit_ratio"].mean(),
+            "mean_upper_ratio": g["upper_ratio"].mean(),
+            "mean_dup_word_ratio": g["dup_word_ratio"].mean(),
+            "mean_dup_5gram_ratio": g["dup_5gram_ratio"].mean(),
+            "mean_perplexity": g["perplexity"].mean(),
+            "mean_langid_conf": g["langid_conf"].mean(),
+            "mean_lang_match": g["lang_match"].mean(),
+        }
+    )
+    for c in HOST_ECDF_FEATURES:
+        h["u_" + c.removeprefix("n_")] = ecdf_pd(h[c].to_numpy())
+    cols = list(HOST_CLUSTER_FEATURES)
+    X = minmax_pd(h[cols].to_numpy())
+    P = pca_pd(X, n_components=3)
+    lab, _ = kmeans_pd(P, k)
+    w = np.array([HOST_QUALITY_WEIGHTS.get(c, 0.0) for c in cols])
+    scores = np.array([X[lab == j].mean(0) @ w if (lab == j).any() else -np.inf for j in range(k)])
+    order = sorted(range(k), key=lambda j: (-scores[j], j))
+    kept = set(order[:keep_top])
+    host_keep = pd.Series([lab[i] in kept for i in range(len(h))], index=h.index)
+    host_cluster = pd.Series(lab, index=h.index)
+    return pd.DataFrame(
+        {
+            "url": pages["url"].to_numpy(),
+            "host": feats["host"].to_numpy(),
+            "host_cluster": host_cluster.reindex(feats["host"]).to_numpy(),
+            "keep": host_keep.reindex(feats["host"]).to_numpy(),
+        }
+    )
+
+
 def f1_score(y_true: np.ndarray, y_pred: np.ndarray) -> float:
     tp = int(np.sum(y_true & y_pred))
     fp = int(np.sum(~y_true & y_pred))

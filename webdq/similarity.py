@@ -62,17 +62,31 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
 
 
 def lsh_buckets(
-    df: DataFrame, dim: int, n_bits: int = 12, seed: int = 7, vec_col: str = "embedding", out: str = "bucket"
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 12,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    out: str = "bucket",
+    n_tables: int = 1,
 ) -> DataFrame:
-    H = _hyperplanes(dim, n_bits, seed)
+    """Sign-LSH bucket id per row. With ``n_tables`` > 1, emits one row
+    per (table, bucket) — L independent hyperplane sets (the standard
+    multi-table LSH recall knob: candidate recall ≈ 1-(1-p^b)^L). The
+    L projections are ONE batched matmul per Arrow batch."""
+    H = np.stack([_hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)])  # (L, b, dim)
 
-    @pandas_udf(T.LongType())
-    def bucket_udf(vs: pd.Series) -> pd.Series:
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def buckets_udf(vs: pd.Series) -> pd.Series:
         M = np.stack(vs.to_numpy())  # (batch, dim)
-        signs = (M @ H.T) > 0  # (batch, n_bits)
-        return pd.Series((signs.astype(np.int64) << np.arange(n_bits, dtype=np.int64)).sum(axis=1))
+        signs = np.einsum("nd,lbd->nlb", M, H) > 0  # (batch, L, b)
+        codes = (signs.astype(np.int64) << np.arange(n_bits, dtype=np.int64)).sum(axis=2)
+        return pd.Series(list(codes))
 
-    return df.withColumn(out, bucket_udf(F.col(vec_col)))
+    out_df = df.withColumn("_bkts", buckets_udf(F.col(vec_col)))
+    if n_tables == 1:
+        return out_df.withColumn(out, F.element_at("_bkts", 1)).drop("_bkts")
+    return out_df.select("*", F.posexplode("_bkts").alias("_table", out)).drop("_bkts")
 
 
 def lsh_topk(
@@ -86,16 +100,27 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     multiprobe: bool = True,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket (or a
-    hamming-1 neighbor bucket with multiprobe), re-ranked exactly."""
-    c = lsh_buckets(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), dim, n_bits, seed, "_cv")
-    q = lsh_buckets(queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")), dim, n_bits, seed, "_qv")
+    """Approximate top-k: candidates share the query's LSH bucket in
+    any of ``n_tables`` independent tables (or a hamming-1 neighbor
+    bucket with multiprobe), re-ranked exactly. Recall scales with
+    L = n_tables at O(L) candidate cost — the standard production
+    knob; multiprobe stretches each table further."""
+    c = lsh_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        dim, n_bits, seed, "_cv", n_tables=n_tables,
+    )
+    q = lsh_buckets(
+        queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")),
+        dim, n_bits, seed, "_qv", n_tables=n_tables,
+    )
     if multiprobe:
         probes = F.array(F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)])
         q = q.withColumn("bucket", F.explode(probes))
+    join_keys = ["_table", "bucket"] if n_tables > 1 else ["bucket"]
     cand = (
-        c.join(q, "bucket")
+        c.join(q, join_keys)
         .filter(F.col("neighbor_id") != F.col("_qid"))
         .withColumn("cosine", cosine_col(F.col("_cv"), F.col("_qv")))
         .dropDuplicates(["_qid", "neighbor_id"])
