@@ -64,3 +64,31 @@ def test_ecdf_paths_agree(spark):
     )
     for c in ["u_chars", "u_words"]:
         assert (a[c] == b[c]).all(), c
+
+
+def test_ecdf_melt_path_matches_direct(spark):
+    """>3 high-card columns fall back to the melted one-shuffle-serves-
+    all path — it must agree exactly with the direct per-column window
+    path and with the pandas oracle."""
+    df = _ecdf_frames(spark).withColumn(
+        "jitter", (F.xxhash64("url") % 100000) / 7.0
+    ).cache()
+    cols = ["n_chars", "n_words", "mean_word_len", "jitter"]
+    melt = (
+        normalize.ecdf(df, cols, key_col="url", low_card_threshold=1)  # all 4 high → melt
+        .toPandas().set_index("url").sort_index()
+    )
+    pdf = df.toPandas().set_index("url").sort_index()
+    for c in cols:
+        u = "u_" + c.removeprefix("n_")
+        np.testing.assert_allclose(
+            melt[u].to_numpy(), oracle.ecdf_pd(pdf[c].to_numpy()), rtol=1e-12, err_msg=u
+        )
+    # direct path on a 3-col subset agrees with the melt run
+    direct = (
+        normalize.ecdf(df, cols[:3], key_col="url", low_card_threshold=1)
+        .toPandas().set_index("url").sort_index()
+    )
+    for c in cols[:3]:
+        u = "u_" + c.removeprefix("n_")
+        assert (melt[u] == direct[u]).all(), u

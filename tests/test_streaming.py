@@ -62,3 +62,36 @@ def test_score_stream_matches_batch(spark, tmp_path):
     q.awaitTermination(180)
     got = {r["url"]: (r["cluster"], r["keep"]) for r in spark.sql("select * from scored_pages").collect()}
     assert got == batch_out
+
+
+def test_dedup_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: exactly one emitted
+    row per distinct fingerprint even when duplicates span micro-
+    batches; totals match the batch exact_dedup."""
+    from webdq import dedup
+
+    src = str(tmp_path / "pages3")
+    base = generate_pages(spark, 120).drop("_tier")
+    # duplicate every text under new urls, written as a SECOND file so
+    # the copies arrive in a later micro-batch than the originals
+    dup = base.withColumn("url", F.concat(F.lit("https://mirror.example/"), F.col("url")))
+    base.coalesce(1).write.parquet(src)
+    dup.coalesce(1).write.mode("append").parquet(src)
+
+    stream = streaming.read_pages_stream(spark, src, max_files=1)
+    out = streaming.dedup_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from dedup_stream_out").collect()
+
+    batch = dedup.exact_dedup(
+        base.unionByName(dup).selectExpr("url as doc_id", "text"), id_col="doc_id"
+    ).collect()
+    assert len(got) == len(batch)  # one row per distinct fingerprint
+    assert {r["fingerprint"] for r in got} == {r["fingerprint"] for r in batch}

@@ -24,6 +24,19 @@ CHECKS = {
     # "Batched: true" asserts the columnar parquet scan, "partial_"
     # asserts map-side combine before the exchange.
     "q08_agg_core": ["partial_", "Batched: true"],
+    # grid-cell agg must stay a single hash aggregation with map-side
+    # combine — no window, no join
+    "q41_grid_cell": ["partial_", "Batched: true"],
+    # host-aggregate stage: one hash aggregation; the documents scan
+    # must prune to the columns the feature UDFs need (no n_chars col)
+    "q42_host_agg": ["partial_"],
+    # banded LSH pairs: the candidate join must be an equi-join on
+    # (band, minhash) — never a nested-loop / cartesian product
+    # ("!x" = must NOT appear in the plan)
+    "q44_minhash_banded": ["!NestedLoop", "!Cartesian"],
+    # multi-table LSH ANN re-rank: equi-join on (table, bucket); the
+    # small query side must broadcast
+    "q36_lsh_ann": ["BroadcastHashJoin", "!Cartesian"],
 }
 
 
@@ -49,7 +62,7 @@ def main():
         print(f"\n========== {name} ==========")
         print(plan)
         for needle in CHECKS.get(name, []):
-            ok = needle in plan
+            ok = needle[1:] not in plan if needle.startswith("!") else needle in plan
             bad += not ok
             print(f"  CHECK {'PASS' if ok else 'FAIL'}: {needle!r}")
     sys.exit(1 if bad else 0)

@@ -111,15 +111,18 @@ def ecdf(
     # an array-filter HOF here is interpreted and re-evaluated per
     # reference). Equal values always land in the same bucket; null
     # comparisons fall through every WHEN → bucket 0 (nulls lowest).
-    def bucket_expr(bs: list[float], lo: int, hi: int):
-        # returns #boundaries in bs[lo:hi] strictly below _v, offset lo
+    def bucket_expr_on(col, bs: list[float], lo: int, hi: int):
+        # returns #boundaries in bs[lo:hi] strictly below col, offset lo
         if lo >= hi:
             return F.lit(lo)
         mid = (lo + hi) // 2
         return (
-            F.when(F.col("_v") > F.lit(bs[mid]), bucket_expr(bs, mid + 1, hi))
-            .otherwise(bucket_expr(bs, lo, mid))
+            F.when(col > F.lit(bs[mid]), bucket_expr_on(col, bs, mid + 1, hi))
+            .otherwise(bucket_expr_on(col, bs, lo, mid))
         )
+
+    def bucket_expr(bs: list[float], lo: int, hi: int):
+        return bucket_expr_on(F.col("_v"), bs, lo, hi)
 
     # fused counts job: melt EVERY ecdf column once; low-card columns
     # group by raw value, high-card by bucket id. One aggregation
@@ -159,9 +162,54 @@ def ecdf(
             )
     if not high:
         return out
-    cols = high
     df_high = out
 
+    # per-(feature,bucket) cumulative offsets from the fused counts
+    per_feat: dict[str, dict[int, int]] = {}
+    n_total: dict[str, int] = {}
+    for f_name in high:
+        per_feat[f_name] = {int(gv): cnt for gv, cnt in by_col[f_name]}
+    offsets: dict[str, dict[int, int]] = {}
+    for f_name, bc in per_feat.items():
+        n_total[f_name] = sum(bc.values())
+        acc = 0
+        offsets[f_name] = {}
+        for bkt in sorted(bc):
+            offsets[f_name][bkt] = acc
+            acc += bc[bkt]
+    spark = df.sparkSession
+
+    if len(high) <= 3:
+        # DIRECT path (few continuous features — the common pipeline
+        # shape): per column, bucket-assign on the wide frame itself,
+        # broadcast-join the (bucket → offset) dim, and run ONE
+        # RANGE-frame window partitioned by bucket. The chained
+        # windows pipeline as shuffle→sort→shuffle→sort inside a
+        # single job — no melt, no pivot, no key join-back (the melt
+        # path costs 2 long-format shuffles PLUS a join that reshuffles
+        # the wide frame anyway; measured the worst scaler in r1).
+        out2 = df_high
+        for c in high:
+            u = prefix + c.removeprefix("n_")
+            bcol, ocol, ncol = f"_b_{u}", f"_below_{u}", f"_nf_{u}"
+            out2 = out2.withColumn(bcol, bucket_expr_on(F.col(c), bounds[c], 0, len(bounds[c])))
+            off_df = spark.createDataFrame(
+                [(bkt, off, n_total[c]) for bkt, off in offsets[c].items()],
+                f"`{bcol}` int, `{ocol}` long, `{ncol}` long",
+            )
+            out2 = out2.join(F.broadcast(off_df), bcol)
+            w = (
+                Window.partitionBy(bcol)
+                .orderBy(F.col(c))
+                .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            out2 = out2.withColumn(
+                u,
+                (F.col(ocol) + F.count(F.lit(1)).over(w)).cast("double") / F.col(ncol).cast("double"),
+            ).drop(bcol, ocol, ncol)
+        return out2
+
+    cols = high
     # 2. melt to long: one row per (key, feature, value). Only the key
     #    and the numeric columns travel through the ECDF shuffles —
     #    callers must NOT pass wide payload columns here.
@@ -179,26 +227,13 @@ def ecdf(
     # and avoids an unbounded persist (VERDICT r1 "unbounded persists").
     long = long.withColumn("_b", b)
 
-    # per-(feature,bucket) cumulative offsets from the fused counts
-    per_feat: dict[str, dict[int, int]] = {}
-    n_total: dict[str, int] = {}
-    for f_name in cols:
-        per_feat[f_name] = {int(gv): cnt for gv, cnt in by_col[f_name]}
-    offsets: dict[str, int] = {}
-    for f_name, bc in per_feat.items():
-        n_total[f_name] = sum(bc.values())
-        acc = 0
-        for b in sorted(bc):
-            offsets[f"{f_name}#{b}"] = acc
-            acc += bc[b]
     # broadcast-joined offsets table (≤ n_buckets × n_features rows):
     # a literal map column would be re-CONSTRUCTED per row (measured
     # hot); a broadcast hash join costs one probe per row.
-    spark = df.sparkSession
     off_rows = [
-        (f_name, b, offsets[f"{f_name}#{b}"], n_total[f_name])
+        (f_name, bkt, offsets[f_name][bkt], n_total[f_name])
         for f_name, bc in per_feat.items()
-        for b in bc
+        for bkt in bc
     ]
     off_df = spark.createDataFrame(off_rows, "_f string, _b int, _below long, _nf long")
     long = long.join(F.broadcast(off_df), ["_f", "_b"])

@@ -146,7 +146,13 @@ def extract_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     df = textstats.char_features(df)
     df = scorers.all_scorer_features(df)  # one fused ArrowEvalPython
     df = scrub(df)
-    return df.drop("html")
+    # html AND raw text are dead weight past this point: every
+    # downstream consumer reads either the numeric features or
+    # scrubbed_text (the per-url byte-identity deliverable). Dropping
+    # them here shrinks the persisted/checkpointed stage ~60% — at
+    # cache-pressure scale that is the difference between memory-
+    # resident and spilling stages.
+    return df.drop("html", "text")
 
 
 def normalize_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:

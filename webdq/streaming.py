@@ -65,6 +65,46 @@ def score_stream(
     return out.select("url", "warc_ts", "cluster", keep.alias("keep"), "scrubbed_text")
 
 
+DEDUP_STREAM_SCHEMA = "fingerprint string, keep_url string, n_in_batch long"
+_DEDUP_STATE_SCHEMA = "seen long"
+
+
+def dedup_stream(pages: DataFrame, text_col: str = "text", url_col: str = "url") -> DataFrame:
+    """CUSTOM STATEFUL STREAMING OPERATOR (applyInPandasWithState):
+    cross-micro-batch exact dedup. State = one long per fingerprint
+    (#occurrences so far); a fingerprint's FIRST arrival emits one row
+    (fingerprint, keep_url, n_in_batch) and later arrivals emit
+    nothing — the streaming counterpart of dedup.exact_dedup /
+    dedup_keep_first. State is keyed by md5(text), so the shuffle is
+    the same bounded-fanout equi-key as the batch groupBy; memory is
+    one long per DISTINCT document ever seen (at 10^12 docs you'd add
+    a state TTL / rocksdb state store — the operator shape is
+    identical)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = pages.select(
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fingerprint"),
+        F.col(url_col).alias("url"),
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        n_before = state.get[0] if state.exists else 0
+        urls = []
+        for pdf in pdfs:
+            urls.extend(pdf["url"].tolist())
+        state.update((n_before + len(urls),))
+        if n_before == 0 and urls:
+            yield pd.DataFrame(
+                {"fingerprint": [key[0]], "keep_url": [min(urls)], "n_in_batch": [len(urls)]}
+            )
+
+    return keyed.groupBy("fingerprint").applyInPandasWithState(
+        fn, DEDUP_STREAM_SCHEMA, _DEDUP_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def windowed_lang_stats(pages: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window ingest statistics per language —
     late pages beyond the watermark are dropped from the aggregation
