@@ -72,3 +72,33 @@ def test_checkpoint_resume(tmp_path, spark):
     assert m2["features"].get("skipped") and m2["normalized"].get("skipped")
     assert (first["keep"] == second["keep"]).all()
     assert (first["scrubbed_text"] == second["scrubbed_text"]).all()
+
+
+def test_keep_dim_plan_matches_keep_map(spark):
+    """The lazy-plan cluster ranking (no driver collect) must agree
+    with the collected-centroid keep_map rule on every (keep_top,
+    tie) configuration."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from webdq import label
+
+    rows = [
+        # cluster, a, b  (two scored features; cluster 2 ties cluster 0)
+        (0, 0.9, 0.1),
+        (0, 0.9, 0.1),
+        (1, 0.1, 0.9),
+        (2, 0.9, 0.1),
+        (3, 0.5, 0.5),
+    ]
+    df = spark.createDataFrame(rows, "cluster int, stopword_ratio double, symbol_ratio double")
+    cols = ["stopword_ratio", "symbol_ratio"]  # weights +1 / -1
+    pdf = pd.DataFrame(rows, columns=["cluster", *cols])
+    centers = pdf.groupby("cluster").mean().sort_index().to_numpy()
+    for keep_top in (1, 2, 3):
+        plan = {
+            r["cluster"]: r["keep"]
+            for r in label.keep_dim_plan(df, cols, keep_top=keep_top).collect()
+        }
+        ref = label.keep_map(centers, cols, keep_top=keep_top)
+        assert plan == ref, (keep_top, plan, ref)
