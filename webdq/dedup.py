@@ -83,19 +83,33 @@ def minhash_signatures(
     (oracle parity). shingle_n>1 (word n-grams) makes collisions track
     resemblance instead of shared vocabulary."""
     toks = _shingles(text_col, shingle_n)
-    bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
-    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks")).select("doc_id", "_toks", bands)
+    # Explode (doc, shingle, band) and take the min-of-md5 as a HASH
+    # AGGREGATION: the per-partition partial min (map-side combine)
+    # collapses the exploded rows to ≤ docs×bands per partition before
+    # any shuffle, and every md5 runs inside whole-stage codegen. The
+    # earlier array_min(transform(...)) form computed the same hashes
+    # inside Spark's INTERPRETED higher-order functions — measured
+    # slower (CLAUDE.md: HOFs re-evaluate + never codegen).
+    sh = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("_t")).select(
+        "doc_id", "_t", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
+    )
 
     def row_min(r: int):
         # r=1 keeps the legacy seed "band" (oracle SQL_28/29 parity);
         # r>1 seeds each row "band_r"
         seed_suffix = f"_{r}" if rows_per_band > 1 else ""
         seed = F.concat(F.col("band").cast("string"), F.lit(seed_suffix))
-        return F.array_min(F.transform(F.col("_toks"), lambda t: F.md5(F.concat(t, F.lit("#"), seed))))
+        return F.min(F.md5(F.concat(F.col("_t"), F.lit("#"), seed))).alias(f"_m{r}")
 
-    sig = row_min(0) if rows_per_band == 1 else F.concat_ws("|", *[row_min(r) for r in range(rows_per_band)])
-    out = base.select("doc_id", "band", sig.alias("minhash"))
-    return out.filter(F.col("minhash").isNotNull() & (F.col("minhash") != ""))
+    agg = sh.groupBy("doc_id", "band").agg(*[row_min(r) for r in range(rows_per_band)])
+    sig = (
+        F.col("_m0")
+        if rows_per_band == 1
+        else F.concat_ws("|", *[F.col(f"_m{r}") for r in range(rows_per_band)])
+    )
+    return agg.select("doc_id", "band", sig.alias("minhash")).filter(
+        F.col("minhash").isNotNull() & (F.col("minhash") != "")
+    )
 
 
 def minhash_lsh_pairs(
