@@ -154,6 +154,10 @@ def main() -> None:
         spark = build_session(f"local[{CPUS}]", app_name="webdq-bench", shuffle_partitions=CPUS)
         spark.sparkContext.setLogLevel("ERROR")
         qs = entry.queries()
+        # uncounted warm-up: JIT/codegen + Arrow python-worker spin-up
+        # are session costs, not query costs — without this the first
+        # headline query (the full pipeline) absorbs all of them
+        _count(qs["q00_quality_pipeline"](spark, "/root/testdata/sf0.001"))
         for name in HEADLINE:
             t0 = time.time()
             _count(qs[name](spark, SF_DIR))

@@ -73,3 +73,30 @@ def test_host_label_propagation_and_f1(spark, host_pages):
     m2 = got.merge(pdf[["url", "_tier"]], on="url")
     tier_f1 = oracle.f1_score(m2["_tier"].isin([0, 4]).to_numpy(), m2["keep"].to_numpy(dtype=bool))
     assert tier_f1 >= 0.99, f"host-label F1 vs latent clean tiers = {tier_f1}"
+
+
+def test_host_pipeline_checkpoint_resume(tmp_path, spark, host_pages):
+    """workdir mode: stages checkpoint to parquet; a resume run over an
+    EMPTY input reproduces the labels from the checkpoints."""
+    import json
+    import os
+
+    pages = host_pages.drop("_tier").limit(800)
+    wd = str(tmp_path / "hostrun")
+    first = (
+        hostagg.run_host_pipeline(spark, pages, k=3, keep_top=1, workdir=wd)
+        .toPandas().set_index("url").sort_index()
+    )
+    with open(os.path.join(wd, "metrics.json")) as f:
+        m1 = {m["stage"]: m for m in json.load(f)}
+    assert not m1["host_features"].get("skipped")
+    assert m1["host_labels"]["rows_out"] == len(first)
+
+    second = (
+        hostagg.run_host_pipeline(spark, pages.limit(0), k=3, keep_top=1, workdir=wd)
+        .toPandas().set_index("url").sort_index()
+    )
+    with open(os.path.join(wd, "metrics.json")) as f:
+        m2 = {m["stage"]: m for m in json.load(f)}
+    assert m2["host_labels"].get("skipped")
+    assert first.equals(second)

@@ -37,6 +37,12 @@ CHECKS = {
     # multi-table LSH ANN re-rank: equi-join on (table, bucket); the
     # small query side must broadcast
     "q36_lsh_ann": ["BroadcastHashJoin", "!Cartesian"],
+    # parallel-exact ECDF must NEVER collapse to a single-partition
+    # global sort (the naive cume_dist shape). At sf0.01 the feature is
+    # low-cardinality → broadcast value-map path (no shuffle at all);
+    # at high cardinality the plan becomes hash-partitioned bucket
+    # windows — both are shuffle-safe, so the check is the negative.
+    "q05_ecdf": ["BroadcastExchange", "!Exchange SinglePartition"],
 }
 
 

@@ -114,9 +114,11 @@ def host_metadata(feats_df: DataFrame) -> DataFrame:
 
 
 def cluster_hosts(hosts: DataFrame, k: int = 4, pca_components: int = 3,
-                  init_sample: int = 2048, max_iter: int = 25, seed: int = 42):
+                  init_sample: int = 2048, max_iter: int = 25, seed: int = 42,
+                  persisted: list | None = None):
     """ECDF → min-max+PCA (fused scan) → KMeans over the host table.
-    Returns (clustered hosts df, feature cols, km model)."""
+    Returns (clustered hosts df, feature cols, km model). Registers
+    its internal persist in ``persisted`` for caller-side release."""
     h = normalize.ecdf(hosts, HOST_ECDF_FEATURES, key_col="host", prefix="u_")
     # ecdf strips the n_ prefix (n_pages → u_pages); mean_perplexity
     # keeps its name → u_mean_perplexity
@@ -125,6 +127,8 @@ def cluster_hosts(hosts: DataFrame, k: int = 4, pca_components: int = 3,
     scaled = ml.minmax_scale(h, feats, stats)
     pc_cols = [f"pc_{j}" for j in range(pca.loadings.shape[1])]
     proj = ml.pca_project(scaled, pca).select("host", *feats, *pc_cols).persist()
+    if persisted is not None:
+        persisted.append(proj)
     km = ml.kmeans_fit(proj, pc_cols, k=k, key_col="host", max_iter=max_iter,
                        init_sample=init_sample, seed=seed)
     out = ml.kmeans_assign(proj, pc_cols, km.centers, out="host_cluster")
@@ -148,17 +152,28 @@ def run_host_pipeline(
     keep_top: int = 1,
     init_sample: int = 2048,
     seed: int = 42,
+    workdir: str | None = None,
 ) -> DataFrame:
     """pages → per-page features → host metadata → host clusters →
     (url, host, host_cluster, keep): every page labeled by ITS HOST's
     cluster — the reference's two-level labeling shape. The host
-    dimension is broadcast back onto pages (map-side only)."""
-    from .pipeline import PipelineConfig, extract_features
+    dimension is broadcast back onto pages (map-side only).
 
-    feats_df = extract_features(pages, PipelineConfig(seed=seed)).persist()
-    hosts = host_metadata(feats_df).persist()
+    ``workdir`` enables the same Luigi-style resumable parquet stages
+    (+ per-partition lineage and metrics) as the page pipeline."""
+    from .pipeline import PipelineConfig, StageRunner, extract_features
+
+    runner = StageRunner(spark, workdir)
+    if runner.exists("host_labels"):
+        runner.metrics.append({"stage": "host_labels", "skipped": True})
+        runner.flush_metrics()
+        return spark.read.parquet(runner._path("host_labels"))
+
+    feats_df = runner.run("host_features", lambda: extract_features(pages, PipelineConfig(seed=seed)))
+    hosts = runner.run("host_metadata", lambda: host_metadata(feats_df))
     clustered_hosts, feats, _ = cluster_hosts(
-        hosts, k=k, pca_components=pca_components, init_sample=init_sample, seed=seed
+        hosts, k=k, pca_components=pca_components, init_sample=init_sample, seed=seed,
+        persisted=runner._persisted,
     )
     dim = host_keep_dim(spark, clustered_hosts, feats, keep_top)
     host_dim = clustered_hosts.select("host", "host_cluster").join(F.broadcast(dim), "host_cluster")
@@ -168,9 +183,15 @@ def run_host_pipeline(
         .na.fill({"keep": False})
         .select("url", "host", "host_cluster", "keep")
     )
-    # materialize before releasing caches (same discipline as run_pipeline)
-    out = out.persist()
-    out.count()
-    feats_df.unpersist()
-    hosts.unpersist()
+    out = runner.run("host_labels", lambda: out)
+    if not workdir:
+        out.count()  # materialize before releasing upstream caches
+    # run_pipeline discipline: at most one persisted frame survives —
+    # the returned one (in workdir mode `out` is a parquet read and
+    # everything can be released)
+    for df_ in runner._persisted:
+        if df_ is not out:
+            df_.unpersist()
+    runner._persisted = [out] if not workdir else []
+    runner.flush_metrics()
     return out
