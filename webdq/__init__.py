@@ -18,9 +18,12 @@ normalize  ratio / temporal / ECDF / min-max normalization (§2.4-2.5, M1)
 ml         covariance+eig, auto-PCA, DataFrame-native KMeans, elbow (M2-M8)
 label      cluster → keep/drop mapping + broadcast label join (M9/J6)
 pipeline   checkpointed resumable stages + lineage/metrics (§2.10, §4)
-dedup      exact / MinHash-LSH / SimHash / n-gram-Jaccard / embedding dedup
-similarity brute-force + LSH-bucketed cosine top-k ANN
-multimodal binary-column (image/audio) plumbing with stubbed decoders
+hostagg    two-level labeling: host metadata → host clusters → pages (M9)
+dedup      exact / MinHash-LSH (r rows/band) / SimHash / n-gram-Jaccard /
+           embedding dedup
+similarity brute-force + multi-table sign-LSH cosine top-k ANN
+multimodal binary media columns with real pure-numpy PPM/WAV codecs
+streaming  stateless scoring + windowed stats + stateful cross-batch dedup
 oracle     driver-side pandas/numpy reference implementation (tests)
 """
 
