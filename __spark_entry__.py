@@ -630,17 +630,30 @@ def _doc_tokens():
     return F.split(F.col("text"), " ")
 
 
+def _stopword_token_count():
+    """Tokens (with multiplicity) whose lowercase form is an EN
+    stopword, counted in ONE native regexp pass. Under the
+    single-space tokenization contract a stopword token is exactly a
+    maximal non-space run equal to a stopword, so the count is a
+    boundary-anchored alternation — replacing the per-token HOF probe
+    of a 50-literal array (interpreted, literal rebuilt per row:
+    CLAUDE.md measurement, VERDICT r2 #3). The trailing boundary is a
+    LOOKAHEAD so one space can close match k and open match k+1
+    ("the the" counts 2)."""
+    from webdq.textstats import EN_STOPWORDS
+
+    pat = r"(?:^| )(?:" + "|".join(EN_STOPWORDS) + r")(?= |$)"
+    return F.regexp_count(F.lower(F.col("text")), F.lit(pat))
+
+
 def q24_text_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = _doc_tokens()
-    from webdq.textstats import EN_STOPWORDS
-
-    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.round(F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))) / F.size(toks), 6).alias("stopword_ratio"),
+        F.round(_stopword_token_count() / F.size(toks), 6).alias("stopword_ratio"),
         F.round((F.length("text") - F.size(toks) + 1) / F.size(toks), 6).alias("avg_token_len"),
     )
 
@@ -745,8 +758,8 @@ def q28_minhash(spark, sf_dir):
     return dedup.minhash_signatures(_t(spark, sf_dir, "documents"), n_bands=4)
 
 
-SQL_28 = """
-WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
+SQL_28 = r"""
+WITH tok AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t FROM documents),
      b AS (SELECT unnest([0, 1, 2, 3]) AS band)
 SELECT doc_id, band, min(md5(t || '#' || CAST(band AS VARCHAR))) AS minhash
 FROM tok CROSS JOIN b GROUP BY doc_id, band
@@ -761,8 +774,8 @@ def q29_minhash_lsh_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n_bands=4, max_bucket=1000, shingle_n=3)
 
 
-SQL_29 = """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+SQL_29 = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
      tok AS (SELECT doc_id,
                     unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS t
              FROM w WHERE len(w) >= 3),
@@ -819,8 +832,8 @@ def q31_ngram_jaccard(spark, sf_dir):
     )
 
 
-SQL_31 = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+SQL_31 = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
      grams AS (SELECT doc_id,
                       unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS g
                FROM toks WHERE len(w) >= 3),
@@ -880,11 +893,8 @@ FROM ranked WHERE rnk <= 3
 def q34_quality_rules(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = _doc_tokens()
-    from webdq.textstats import EN_STOPWORDS
-
-    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     n = F.size(toks)
-    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))) / n
+    stop_ratio = _stopword_token_count() / n
     dup_ratio = F.lit(1.0) - F.size(F.array_distinct(toks)) / n
     return d.select(
         "doc_id",
@@ -918,8 +928,8 @@ def q35_simhash64(spark, sf_dir):
     return dedup.simhash64_portable(_t(spark, sf_dir, "documents"))
 
 
-SQL_35 = """
-WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
+SQL_35 = r"""
+WITH tok AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t FROM documents),
      h AS (SELECT doc_id, md5(t) AS h FROM tok),
      bits AS (SELECT doc_id, i,
                      ((strpos('0123456789abcdef', substr(h, i // 2 + 1, 1)) - 1) >> (i % 2)) & 1 AS bit
@@ -1165,8 +1175,8 @@ def q44_minhash_banded(spark, sf_dir):
     )
 
 
-SQL_44 = """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+SQL_44 = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
      tok AS (SELECT doc_id,
                     unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS t
              FROM w WHERE len(w) >= 3),
