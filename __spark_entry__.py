@@ -1193,20 +1193,14 @@ FROM sig a JOIN sig x ON a.band = x.band AND a.minhash = x.minhash AND a.doc_id 
 def q45_pipeline_summary(spark, sf_dir):
     """Deterministic verification surface for the flagship pipeline
     (VERDICT r1 item 4): per-cluster document counts + keep counts +
-    md5 of the sorted kept-url list. Rows-only (KMeans upstream), but
-    the VALUES are a stable function of the input — any engine change
-    that perturbs clustering or labeling shows up here."""
-    out = q00_quality_pipeline(spark, sf_dir)
-    kept_urls = F.array_sort(F.collect_list(F.when(F.col("keep"), F.col("url"))))
-    return (
-        out.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
-            F.md5(F.concat_ws("|", kept_urls)).alias("kept_urls_md5"),
-        )
-        .orderBy("cluster")
-    )
+    an order-insensitive bit_xor(xxhash64) digest of the kept urls
+    (bounded per-group state — no collect_list; VERDICT r2 #2).
+    Rows-only (KMeans upstream), but the VALUES are a stable function
+    of the input — any engine change that perturbs clustering or
+    labeling shows up here."""
+    from webdq.label import summarize_clusters
+
+    return summarize_clusters(q00_quality_pipeline(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

@@ -102,3 +102,38 @@ def test_keep_dim_plan_matches_keep_map(spark):
         }
         ref = label.keep_map(centers, cols, keep_top=keep_top)
         assert plan == ref, (keep_top, plan, ref)
+
+
+def test_summarize_clusters_bounded_and_partition_invariant(spark):
+    """The q45 verification digest must be (a) free of collect_list —
+    bounded per-group state at any scale — and (b) identical under any
+    partitioning (xor digest is order-insensitive)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from webdq.label import summarize_clusters
+
+    df = (
+        spark.range(0, 500, 1, 4)
+        .select(
+            F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"), F.lit(".example/p"), F.col("id").cast("string")).alias("url"),
+            (F.col("id") % 4).cast("int").alias("cluster"),
+            (F.col("id") % 3 == 0).alias("keep"),
+        )
+    )
+    out = summarize_clusters(df)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "collect_list" not in buf.getvalue()
+
+    a = summarize_clusters(df.repartition(1)).toPandas().set_index("cluster").sort_index()
+    b = summarize_clusters(df.repartition(13)).toPandas().set_index("cluster").sort_index()
+    assert (a["kept_urls_sig"] == b["kept_urls_sig"]).all()
+    assert (a["n_keep"] == b["n_keep"]).all()
+    assert (a["n_docs"] == b["n_docs"]).all()
+    # digest reacts to membership changes (not a constant)
+    c = summarize_clusters(df.withColumn("keep", ~F.col("keep"))).toPandas().set_index("cluster").sort_index()
+    assert (a["kept_urls_sig"] != c["kept_urls_sig"]).any()
