@@ -23,7 +23,7 @@ def test_host_metadata_matches_pandas(spark, host_pages):
 
     pdf = host_pages.select("url", "warc_ts", "text", "lang").toPandas()
     ref_feats = oracle.features_pd(pdf)
-    ref_feats["host"] = pdf["url"].str.extract(r"^[a-z]+://([^/]+)/")[0].to_numpy()
+    ref_feats["host"] = pdf["url"].str.extract(r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)")[0].to_numpy()
     ref_feats["warc_ts"] = pd.to_datetime(pdf["warc_ts"])
     g = ref_feats.groupby("host")
     assert len(got) == g.ngroups
@@ -100,3 +100,31 @@ def test_host_pipeline_checkpoint_resume(tmp_path, spark, host_pages):
         m2 = {m["stage"]: m for m in json.load(f)}
     assert m2["host_labels"].get("skipped")
     assert first.equals(second)
+
+
+def test_host_broadcast_fallback_identical(spark, host_pages):
+    """Forcing the shuffle-join fallback (threshold=0) must produce
+    exactly the labels the broadcast path produces — the guard changes
+    the physical join strategy, never the semantics."""
+    pages = host_pages.drop("_tier").limit(1000)
+    a = (
+        hostagg.run_host_pipeline(spark, pages, k=3, keep_top=1)
+        .toPandas().set_index("url").sort_index()
+    )
+    b = (
+        hostagg.run_host_pipeline(spark, pages, k=3, keep_top=1, broadcast_hosts_threshold=0)
+        .toPandas().set_index("url").sort_index()
+    )
+    assert a.equals(b)
+
+
+def test_host_col_pathless_and_scheme_case(spark):
+    """Path-less URLs and uppercase schemes must extract a real host
+    (the old regex required a trailing slash + lowercase scheme and
+    collapsed these into host '' — ADVICE r2)."""
+    df = spark.createDataFrame(
+        [("https://example.com",), ("HTTPS://Example.org/x",), ("ftp://a.b/c?d",), ("https://q.example/p?x=1",)],
+        "url string",
+    )
+    got = [r[0] for r in df.select(hostagg.host_col()).collect()]
+    assert got == ["example.com", "Example.org", "a.b", "q.example"]

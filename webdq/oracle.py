@@ -159,7 +159,7 @@ def reference_host_labels(pages: pd.DataFrame, k: int = 4, keep_top: int = 1) ->
     from .hostagg import HOST_CLUSTER_FEATURES, HOST_ECDF_FEATURES, HOST_QUALITY_WEIGHTS
 
     feats = features_pd(pages)
-    feats["host"] = pages["url"].str.extract(r"^[a-z]+://([^/]+)/")[0].to_numpy()
+    feats["host"] = pages["url"].str.extract(r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)")[0].to_numpy()
     feats["warc_ts"] = pd.to_datetime(pages["warc_ts"].to_numpy())
     g = feats.groupby("host")
     ts = g["warc_ts"]
