@@ -116,3 +116,24 @@ def test_auto_kmeans_elbow_recovers_k(spark):
     assert best == 3
     assert set(models) == set(range(1, 8))
     assert models[3].inertia == models[3].inertia  # not NaN
+
+
+def test_init_sample_prefilter_parity(spark):
+    """The hash-range pre-filtered init sample must be bitwise
+    identical to the full-scan TopK sample (the filter only prunes
+    rows that cannot be in the TopK), including when n_rows is a loose
+    over-estimate; an absurd under-estimate trips the shortfall
+    fallback and still agrees."""
+    df = spark.range(0, 5000, 1, 8).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 97).cast("double").alias("x"),
+        (F.col("id") % 31).cast("double").alias("y"),
+    )
+    base = ml.init_sample_matrix(df, ["x", "y"], "url", 64)
+    pre = ml.init_sample_matrix(df, ["x", "y"], "url", 64, n_rows=5000)
+    np.testing.assert_array_equal(base, pre)
+    loose = ml.init_sample_matrix(df, ["x", "y"], "url", 64, n_rows=50_000)
+    np.testing.assert_array_equal(base, loose)
+    # n_rows wildly too large -> cutoff below every hash -> fallback
+    tiny_frac = ml.init_sample_matrix(df, ["x", "y"], "url", 64, n_rows=10**12)
+    np.testing.assert_array_equal(base, tiny_frac)

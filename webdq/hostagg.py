@@ -138,7 +138,7 @@ def cluster_hosts(hosts: DataFrame, k: int = 4, pca_components: int = 3,
     if persisted is not None:
         persisted.append(proj)
     km = ml.kmeans_fit(proj, pc_cols, k=k, key_col="host", max_iter=max_iter,
-                       init_sample=init_sample, seed=seed)
+                       init_sample=init_sample, seed=seed, n_rows=pca.n_rows)
     out = ml.kmeans_assign(proj, pc_cols, km.centers, out="host_cluster")
     return out, feats, km
 

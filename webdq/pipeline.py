@@ -185,7 +185,12 @@ def cluster_documents(df: DataFrame, cfg: PipelineConfig, persisted: list | None
     proj = ml.pca_project(scaled, pca).select("url", *feats, *pc_cols).persist()
     if persisted is not None:
         persisted.append(proj)
-    fit_kw = dict(max_iter=cfg.kmeans_max_iter, init_sample=cfg.kmeans_init_sample, seed=cfg.seed)
+    # pca.n_rows (free metadata from the fit scan) lets the kmeans init
+    # TopK pre-filter by hash range — orders of magnitude fewer
+    # candidate rows at scale, bitwise-identical sample (ml.py)
+    fit_kw = dict(
+        max_iter=cfg.kmeans_max_iter, init_sample=cfg.kmeans_init_sample, seed=cfg.seed, n_rows=pca.n_rows
+    )
     if cfg.k_auto:
         # reference AutoKMeans: sweep k, pick by elbow 2nd derivative
         best_k, models = ml.auto_kmeans(proj, pc_cols, "url", cfg.kmeans_kmin, cfg.kmeans_kmax, **fit_kw)
