@@ -92,3 +92,20 @@ def test_ecdf_melt_path_matches_direct(spark):
     for c in cols[:3]:
         u = "u_" + c.removeprefix("n_")
         assert (melt[u] == direct[u]).all(), u
+
+
+def test_ecdf_reprobe_path_exact(spark):
+    """When the auto bucket count outgrows the initial probe grid the
+    full-resolution re-probe must kick in and stay exact (the
+    billion-row regime, exercised here by shrinking probe_buckets
+    below the 64-bucket auto floor)."""
+    df = _ecdf_frames(spark).cache()
+    cols = ["n_chars", "mean_word_len"]
+    fast = (
+        normalize.ecdf(df, cols, key_col="url", low_card_threshold=1, probe_buckets=16)
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    naive = normalize.ecdf_naive(df, cols).toPandas().sort_values("url").reset_index(drop=True)
+    for c in cols:
+        out = "u_" + c.removeprefix("n_")
+        np.testing.assert_allclose(fast[out], naive[out], rtol=1e-12, err_msg=out)

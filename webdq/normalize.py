@@ -54,6 +54,7 @@ def ecdf(
     n_buckets: int = 0,
     rel_err: float = 0.001,
     low_card_threshold: int = 65536,
+    probe_buckets: int = 1024,
 ) -> DataFrame:
     """Exact, parallel ECDF for every column in ``cols``. Output column
     name: ``prefix + col`` (n_ stripped, matching the reference's
@@ -79,8 +80,10 @@ def ecdf(
     boundaries; job 2 fuses the low-card value counts AND the
     high-card per-bucket counts into one melted aggregation."""
     # probe bucket count from a cheap upper bound first so the fused
-    # probe can size its percentile list; corrected below if auto
-    probe_buckets = n_buckets if n_buckets > 0 else 1024
+    # probe can size its percentile list; corrected below if the auto
+    # bucket count outgrows it (``probe_buckets`` is an internal knob —
+    # tests shrink it to exercise the re-probe path at small scale)
+    probe_buckets = n_buckets if n_buckets > 0 else probe_buckets
     qs = [i / probe_buckets for i in range(1, probe_buckets)]
     probe = df.agg(
         F.count(F.lit(1)).alias("_n"),
@@ -98,12 +101,29 @@ def ecdf(
     low = [c for c in cols if int(probe[f"card_{c}"]) <= low_card_threshold * 0.9]
     high = [c for c in cols if c not in low]
 
+    probe_vals = {c: probe[f"pct_{c}"] for c in high}
+    if high and n_buckets > probe_buckets:
+        # The initial probe grid is too coarse for the auto-scaled
+        # bucket count (only reachable past ~1e9 rows): re-probe the
+        # percentile sketch at full resolution for the continuous
+        # columns — one extra scan, amortized by the input size that
+        # triggers it. Without this the documented 4096 cap was
+        # unreachable (fixed 1024-grid) and per-bucket window
+        # partitions silently grew ~4× past the ~1M-row design bound
+        # (ADVICE r2).
+        qs2 = [i / n_buckets for i in range(1, n_buckets)]
+        probe2 = df.agg(
+            *[F.percentile_approx(F.col(c), qs2, int(1 / rel_err)).alias(f"pct_{c}") for c in high]
+        ).collect()[0]
+        probe_vals = {c: probe2[f"pct_{c}"] for c in high}
+        probe_buckets = n_buckets
+
     # subsample the probed percentile grid down to the working bucket
     # count (the probe always fetches a superset grid)
     step = max(1, probe_buckets // n_buckets)
     bounds = {}
     for c in high:
-        grid = [float(x) for x in (probe[f"pct_{c}"] or [])]
+        grid = [float(x) for x in (probe_vals[c] or [])]
         bounds[c] = sorted(set(grid[step - 1 :: step]))
 
     # bucket id = #boundaries strictly below value, via a balanced
@@ -132,6 +152,13 @@ def ecdf(
     g = F.col("_v")
     for c in high:
         g = F.when(F.col("_f") == c, bucket_expr(bounds[c], 0, len(bounds[c])).cast("double")).otherwise(g)
+    # Driver-size bound of this collect: low-card columns contribute
+    # ≤ low_card_threshold rows each, high-card ≤ n_buckets (4096 cap)
+    # — worst case low_card_threshold × n_cols ≈ 65k × #features. With
+    # the default threshold and a ~dozen-feature pipeline that is a
+    # few-hundred-k-row / few-MB collect; callers raising
+    # ``low_card_threshold`` (a public parameter) scale this collect
+    # linearly and should keep threshold × n_cols ≲ 10M.
     fused = (
         melted.groupBy("_f", g.alias("_g"))
         .agg(F.count(F.lit(1)).alias("cnt"))
