@@ -95,3 +95,65 @@ def test_dedup_stream_stateful(spark, tmp_path):
     ).collect()
     assert len(got) == len(batch)  # one row per distinct fingerprint
     assert {r["fingerprint"] for r in got} == {r["fingerprint"] for r in batch}
+
+
+def test_dedup_stream_ttl_evicts_and_reemits(spark, tmp_path):
+    """With a processing-time TTL, a fingerprint idle past the TTL is
+    evicted by a later micro-batch's timeout sweep and its next
+    arrival re-emits as first-seen (dedup-within-horizon, bounded
+    state). One CONTINUOUS query: while any timer is armed the
+    micro-batch engine keeps scheduling batches, so the sweep runs
+    even with no new input (and processAllAvailable/availableNow never
+    reach a quiescent point — hence sink polling, not draining)."""
+    import time
+
+    src = str(tmp_path / "ttlsrc")
+    cp = str(tmp_path / "ttlcp")
+    sink = str(tmp_path / "ttlsink")
+
+    a = generate_pages(spark, 30).drop("_tier").cache()
+    na = a.count()
+    a.coalesce(1).write.mode("append").parquet(src)  # source dir must pre-exist
+
+    stream = streaming.read_pages_stream(spark, src, max_files=10)
+    out = streaming.dedup_stream(stream, state_ttl_ms=1500)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .start()
+    )
+
+    def sink_rows() -> int:
+        try:
+            return spark.read.parquet(sink).count()
+        except Exception:  # noqa: BLE001 - sink dir not created yet
+            return 0
+
+    def wait_rows(n: int, deadline_s: float = 90.0) -> int:
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            got = sink_rows()
+            if got >= n:
+                return got
+            time.sleep(0.5)
+        return sink_rows()
+
+    try:
+        assert wait_rows(na) == na  # every fingerprint emitted once
+        time.sleep(3.0)  # TTL lapses; timer batches evict the idle states
+        # same texts under new urls: must re-emit as first-seen
+        a.withColumn("url", F.concat(F.lit("https://mirror.example/"), F.col("url"))).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        assert wait_rows(2 * na) == 2 * na, "fingerprints were not re-emitted after TTL eviction"
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    by_fp = {
+        r["fingerprint"]: r["count"]
+        for r in spark.read.parquet(sink).groupBy("fingerprint").count().collect()
+    }
+    assert len(by_fp) == na and all(c == 2 for c in by_fp.values())

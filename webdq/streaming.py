@@ -69,17 +69,31 @@ DEDUP_STREAM_SCHEMA = "fingerprint string, keep_url string, n_in_batch long"
 _DEDUP_STATE_SCHEMA = "seen long"
 
 
-def dedup_stream(pages: DataFrame, text_col: str = "text", url_col: str = "url") -> DataFrame:
+def dedup_stream(
+    pages: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
     """CUSTOM STATEFUL STREAMING OPERATOR (applyInPandasWithState):
     cross-micro-batch exact dedup. State = one long per fingerprint
     (#occurrences so far); a fingerprint's FIRST arrival emits one row
     (fingerprint, keep_url, n_in_batch) and later arrivals emit
     nothing — the streaming counterpart of dedup.exact_dedup /
     dedup_keep_first. State is keyed by md5(text), so the shuffle is
-    the same bounded-fanout equi-key as the batch groupBy; memory is
-    one long per DISTINCT document ever seen (at 10^12 docs you'd add
-    a state TTL / rocksdb state store — the operator shape is
-    identical)."""
+    the same bounded-fanout equi-key as the batch groupBy.
+
+    State bound at web scale: with ``state_ttl_ms`` set, every
+    fingerprint carries a processing-time timeout refreshed on each
+    arrival; a fingerprint idle for the TTL is evicted at a later
+    micro-batch's timeout sweep (Spark fires the timed-out callback
+    for keys WITHOUT input in that batch), and its next arrival
+    re-emits as first-seen — dedup-within-horizon, O(active set)
+    state. With the default ``None`` state grows one long per distinct
+    document ever seen; for that forever-dedup mode configure the
+    RocksDB state store (``spark.sql.streaming.stateStore
+    .providerClass = ...RocksDBStateStoreProvider``) so state lives
+    off-heap with incremental checkpoints instead of executor heap."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     keyed = pages.select(
@@ -90,18 +104,26 @@ def dedup_stream(pages: DataFrame, text_col: str = "text", url_col: str = "url")
     def fn(key, pdfs, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            state.remove()
+            return
         n_before = state.get[0] if state.exists else 0
         urls = []
         for pdf in pdfs:
             urls.extend(pdf["url"].tolist())
         state.update((n_before + len(urls),))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         if n_before == 0 and urls:
             yield pd.DataFrame(
                 {"fingerprint": [key[0]], "keep_url": [min(urls)], "n_in_batch": [len(urls)]}
             )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if state_ttl_ms is not None else GroupStateTimeout.NoTimeout
+    )
     return keyed.groupBy("fingerprint").applyInPandasWithState(
-        fn, DEDUP_STREAM_SCHEMA, _DEDUP_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        fn, DEDUP_STREAM_SCHEMA, _DEDUP_STATE_SCHEMA, "append", timeout
     )
 
 
