@@ -88,3 +88,68 @@ def test_jpeg_png_seam_raises(spark):
         multimodal._decode_one(b"\xff\xd8\xff\xe0" + b"\x00" * 32, fake=False)
     with _pytest.raises(NotImplementedError):
         multimodal._decode_one(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32, fake=False)
+
+
+def test_avi_writer_layout_fixed_offsets(spark):
+    """Writer byte-layout checked independently of the parser: RIFF
+    magic, avih fields and the first '00db' chunk located by manual
+    offset arithmetic (so a symmetric writer+parser bug cannot hide)."""
+    import struct
+
+    p = bytes(
+        multimodal.synth_avi_media(spark, 3, partitions=1)
+        .filter("media_id = 2")
+        .collect()[0]["payload"]
+    )
+    mid = 2
+    w, h, nf = 8 + mid % 8, 6 + mid % 5, 2 + mid % 7
+    row_bytes = (w * 3 + 3) // 4 * 4
+    frame_sz = row_bytes * h
+    assert p[:4] == b"RIFF" and p[8:12] == b"AVI "
+    # hdrl LIST starts at 12; avih chunk at 12+12; its 40-byte body at +8
+    assert p[12:16] == b"LIST" and p[20:24] == b"hdrl"
+    assert p[24:28] == b"avih"
+    avih = struct.unpack("<10I", p[32:72])
+    assert (avih[4], avih[8], avih[9]) == (nf, w, h)
+    # movi LIST: after hdrl (12 + 8 + hdrl_size); first frame chunk follows 'movi'
+    hdrl_size = struct.unpack("<I", p[16:20])[0]
+    movi_at = 12 + 8 + hdrl_size + (hdrl_size % 2)
+    assert p[movi_at : movi_at + 4] == b"LIST" and p[movi_at + 8 : movi_at + 12] == b"movi"
+    f0_at = movi_at + 12
+    assert p[f0_at : f0_at + 4] == b"00db"
+    assert struct.unpack("<I", p[f0_at + 4 : f0_at + 8])[0] == frame_sz
+    got = np.frombuffer(p[f0_at + 8 : f0_at + 8 + frame_sz], dtype=np.uint8)
+    np.testing.assert_array_equal(got, multimodal._avi_frame_bytes(mid, 0, w, h))
+
+
+def test_avi_sample_frames_real(spark):
+    """Chunk-walk frame sampling over the real AVI container: every
+    2nd frame, exact bytes per the deterministic pixel rule."""
+    media = multimodal.synth_avi_media(spark, 12, partitions=3)
+    out = multimodal.sample_frames_avi(media, every=2).toPandas()
+    for mid in range(12):
+        w, h, nf = 8 + mid % 8, 6 + mid % 5, 2 + mid % 7
+        sub = out[out["media_id"] == mid].sort_values("frame_no")
+        assert list(sub["frame_no"]) == list(range(0, nf, 2))
+        for _, r in sub.iterrows():
+            np.testing.assert_array_equal(
+                np.frombuffer(r["frame"], dtype=np.uint8),
+                multimodal._avi_frame_bytes(mid, int(r["frame_no"]), w, h),
+            )
+
+
+def test_avi_video_features(spark):
+    media = multimodal.synth_avi_media(spark, 8, partitions=2)
+    got = multimodal.decode_video_features(media).toPandas().set_index("media_id").sort_index()
+    for mid in range(8):
+        w, h, nf = 8 + mid % 8, 6 + mid % 5, 2 + mid % 7
+        exp = np.concatenate([multimodal._avi_frame_bytes(mid, f, w, h) for f in range(nf)])
+        r = got.loc[mid]
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+        np.testing.assert_allclose(r["mean_byte"], exp.astype(np.float64).mean(), rtol=1e-12)
+
+
+def test_avi_parser_rejects_non_avi(spark):
+    assert multimodal._parse_avi(b"RIFFxxxxWAVE") is None
+    assert multimodal._parse_avi(b"\xff\xd8junk") is None
+    assert multimodal._parse_avi(None) is None
