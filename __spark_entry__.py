@@ -1204,6 +1204,51 @@ def q45_pipeline_summary(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# M10 — DBSCAN (reference demo/DBScan.ipynb) over the first two
+# embedding coordinates: grid-bucketed neighbor join + core flags +
+# core-graph connected components (min-label + path halving). The
+# DuckDB oracle replays the SAME deterministic semantics with a
+# recursive CTE (transitive closure over core edges), so even the
+# iterative component labels are value-checked.
+# --------------------------------------------------------------------------
+
+def q46_dbscan(spark, sf_dir):
+    from webdq.density import dbscan
+
+    e = _t(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("e0"),
+        F.element_at("embedding", 2).cast("double").alias("e1"),
+    )
+    return dbscan(pts, ["e0", "e1"], eps=0.025, min_pts=4, key_col="vec_id")
+
+
+SQL_46 = """
+WITH RECURSIVE
+ pts AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) x, CAST(embedding[2] AS DOUBLE) y
+         FROM embeddings),
+ neigh AS (SELECT a.id AS src, b.id AS dst FROM pts a JOIN pts b
+           ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.025 * 0.025),
+ core AS (SELECT src AS id FROM neigh GROUP BY src HAVING count(*) >= 4),
+ ce AS (SELECT src, dst FROM neigh
+        WHERE src IN (SELECT id FROM core) AND dst IN (SELECT id FROM core)),
+ reach AS (SELECT id, id AS lab FROM core
+           UNION
+           SELECT ce.dst AS id, reach.lab FROM reach JOIN ce ON ce.src = reach.id),
+ comp AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+ border AS (SELECT n.src AS id, min(c.cluster) AS cluster
+            FROM neigh n JOIN comp c ON n.dst = c.id
+            WHERE n.src NOT IN (SELECT id FROM core)
+            GROUP BY n.src)
+SELECT p.id AS vec_id,
+       coalesce(comp.cluster, border.cluster) AS cluster,
+       comp.id IS NOT NULL AS is_core
+FROM pts p LEFT JOIN comp ON comp.id = p.id LEFT JOIN border ON border.id = p.id
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1254,6 +1299,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_host_pipeline": q43_host_pipeline,
     "q44_minhash_banded": q44_minhash_banded,
     "q45_pipeline_summary": q45_pipeline_summary,
+    "q46_dbscan": q46_dbscan,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1300,6 +1346,7 @@ _ORACLES: dict[str, str] = {
     "q41_grid_cell": SQL_41,
     "q42_host_agg": _sql_42(),
     "q44_minhash_banded": SQL_44,
+    "q46_dbscan": SQL_46,
 }
 
 
