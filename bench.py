@@ -32,6 +32,9 @@ SCALE_DOCS = int(os.environ.get("WEBDQ_BENCH_DOCS", "1200000"))
 # N for the N-vs-4N run; 4N must stay within the window the shared
 # host can actually scale (see calibration note in BENCH.md)
 SCALE_N = int(os.environ.get("WEBDQ_BENCH_N", "1"))
+# fixed interleaved rounds per scaling run — no ratio-dependent early
+# stop (ADVICE r2: optional stopping biases the estimate)
+SCALE_ROUNDS = int(os.environ.get("WEBDQ_BENCH_ROUNDS", "3"))
 
 HEADLINE = [
     "q00_quality_pipeline",
@@ -75,12 +78,13 @@ def run_child(master: str, n_docs: int) -> None:
     from webdq.pipeline import PipelineConfig, run_pipeline
     from webdq.session import build_session
     from webdq.synth import generate_pages
-    # 4 tasks per core for BOTH input and shuffle stages: each level
-    # runs the same number of task waves (4), so granularity/straggler
-    # effects cancel in the N-vs-4N ratio instead of gating the 4N
-    # level (8 shuffle partitions on 8 cores = one wave = the slowest
-    # task defines the stage).
-    spark = build_session(master, app_name=f"webdq-bench-{n}", shuffle_partitions=max(8, int(n) * 4))
+    # EXACTLY 4 tasks per core at BOTH levels (shuffle_partitions =
+    # n*4, no floor): each level runs the same number of task waves
+    # (4), so granularity/straggler effects cancel in the N-vs-4N
+    # ratio. The old max(8, ...) floor gave local[1] 8 waves vs
+    # local[4]'s 4 — an asymmetry that slightly penalized the N level
+    # (ADVICE r2).
+    spark = build_session(master, app_name=f"webdq-bench-{n}", shuffle_partitions=int(n) * 4)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = PipelineConfig(k=5, pca_components=4, kmeans_init_sample=2048, kmeans_max_iter=10)
     # Warm-up pass on a small disjoint slice: JIT + codegen + Python
@@ -89,7 +93,9 @@ def run_child(master: str, n_docs: int) -> None:
     # number to scale from.
     warm = generate_pages(spark, 20_000, partitions=max(8, int(n)))
     _count(run_pipeline(spark, warm.drop("_tier"), cfg))
-    pages = generate_pages(spark, n_docs, partitions=max(8, int(n) * 4, n_docs // 75_000))
+    # input partitions: identical at both levels (sized by data, not
+    # by n) so the compared work is literally the same task set
+    pages = generate_pages(spark, n_docs, partitions=max(16, n_docs // 75_000))
     spark.catalog.clearCache()
     t0 = time.time()
     out = run_pipeline(spark, pages.drop("_tier"), cfg)
@@ -99,53 +105,91 @@ def run_child(master: str, n_docs: int) -> None:
     spark.stop()
 
 
-def scaling_run(n_docs: int) -> dict:
+def scaling_run(n_docs: int, n_low: int | None = None, rounds: int | None = None) -> dict:
     """N vs 4N parallelism on the same input (default local[1] vs
     local[4]). The box reports 32 real cores (no SMT) but is a SHARED
     VM: pure-python multiprocessing calibration measures efficiency
     0.98 for 1→4, 0.96 for 2→8, 0.80 for 4→16, 0.72 for 8→32 (host
     oversubscription + memory bandwidth). The 1→4 window is where the
-    HARDWARE can fully express 4×, so the measurement reflects the
-    pipeline; the 2→8 figure is also recorded per round in BENCH.md
-    for context.
+    HARDWARE can fully express 4×, so the headline measurement
+    reflects the pipeline; the 2→8 window is recorded as a standing
+    entry (SCALING_WINDOWS.json) so the claim is window-independent.
 
-    The host is SHARED and co-tenant noise arrives in minutes-long
-    bursts, so the N and 4N children are INTERLEAVED (N, 4N, N, 4N —
-    each child one timed trial after warm-up) and the best wall per
-    level wins: a burst then cannot poison one level in both its
-    attempts without also hitting the other level."""
-    n_low = max(1, SCALE_N)
-    best: dict[str, dict] = {}
+    Sampling protocol (ADVICE r2 — no optional stopping): a FIXED
+    number of interleaved rounds (N, 4N, N, 4N, ... — each child one
+    timed trial after warm-up) runs regardless of interim ratios.
+    Every trial wall is reported; the headline efficiency uses the
+    best wall per level (symmetric — a co-tenant burst cannot poison
+    one level in all its attempts without hitting the other), with
+    median-of-rounds reported alongside."""
+    n_low = max(1, SCALE_N if n_low is None else n_low)
+    rounds = SCALE_ROUNDS if rounds is None else rounds
+    trials: dict[str, list[float]] = {"n": [], "4n": []}
+    masters = {"n": f"local[{n_low}]", "4n": f"local[{n_low * 4}]"}
 
-    def one_round() -> None:
-        for tag, master in (("n", f"local[{n_low}]"), ("4n", f"local[{n_low * 4}]")):
+    for _ in range(rounds):
+        for tag in ("n", "4n"):
             p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child", master, str(n_docs)],
+                [sys.executable, os.path.abspath(__file__), "--child", masters[tag], str(n_docs)],
                 capture_output=True,
                 text=True,
                 timeout=3600,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-            d = json.loads(line)
-            if tag not in best or d["wall_s"] < best[tag]["wall_s"]:
-                best[tag] = {"master": master, "wall_s": d["wall_s"], "docs_per_sec": n_docs / d["wall_s"], "rows": d["rows"]}
+            trials[tag].append(float(json.loads(line)["wall_s"]))
 
-    def eff() -> float:
-        return best["4n"]["docs_per_sec"] / (4.0 * best["n"]["docs_per_sec"])
+    def _med(xs: list[float]) -> float:
+        xs = sorted(xs)
+        m = len(xs) // 2
+        return xs[m] if len(xs) % 2 else 0.5 * (xs[m - 1] + xs[m])
 
-    one_round()
-    one_round()
-    # one extra interleaved round only if the noise band left the ratio
-    # inconclusive — extra best-of samples can only tighten toward the
-    # quiet-host figure, and skipping them when already stable saves
-    # ~8 min of bench wall; this never inflates (max over more samples
-    # per level, symmetric for both levels).
-    if eff() < 0.82:
-        one_round()
-    res = dict(best)
-    res["scaling_efficiency"] = eff()
+    res: dict = {}
+    for tag in ("n", "4n"):
+        best = min(trials[tag])
+        res[tag] = {
+            "master": masters[tag],
+            "wall_s": best,
+            "wall_s_median": _med(trials[tag]),
+            "walls": [round(w, 1) for w in trials[tag]],
+            "docs_per_sec": n_docs / best,
+        }
+    res["scaling_efficiency"] = res["4n"]["docs_per_sec"] / (4.0 * res["n"]["docs_per_sec"])
+    res["scaling_efficiency_median"] = (n_docs / res["4n"]["wall_s_median"]) / (
+        4.0 * (n_docs / res["n"]["wall_s_median"])
+    )
+    res["rounds"] = rounds
+    res["n_docs"] = n_docs
+    res["window"] = f"{n_low}to{n_low * 4}"
     return res
+
+
+def _record_window(res: dict) -> dict:
+    """Persist this window's result in SCALING_WINDOWS.json (the
+    standing multi-window record BENCH.md renders) and return the full
+    record. Calibration constants: pure-python multiprocessing burn on
+    this host — the hardware ceiling each window must be read against."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING_WINDOWS.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        rec = {"calibration": {"1to4": 0.98, "2to8": 0.96, "4to16": 0.80, "8to32": 0.72}}
+    import datetime
+
+    rec[res["window"]] = {
+        "n_docs": res["n_docs"],
+        "rounds": res["rounds"],
+        "masters": [res["n"]["master"], res["4n"]["master"]],
+        "walls_n": res["n"]["walls"],
+        "walls_4n": res["4n"]["walls"],
+        "efficiency_best": round(res["scaling_efficiency"], 3),
+        "efficiency_median": round(res["scaling_efficiency_median"], 3),
+        "measured": datetime.date.today().isoformat(),
+    }
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=2)
+    return rec
 
 
 def main() -> None:
@@ -172,10 +216,18 @@ def main() -> None:
         # are session costs, not query costs — without this the first
         # headline query (the full pipeline) absorbs all of them
         _count(qs["q00_quality_pipeline"](spark, "/root/testdata/sf0.001"))
+        # best-of-2 per query with the plan cache cleared between
+        # trials (identical logical plans hit Spark's CacheManager —
+        # CLAUDE.md): single-shot timings on this shared host drift
+        # ±0.1 s and r2's headline deltas were unreadable as a result.
         for name in HEADLINE:
-            t0 = time.time()
-            _count(qs[name](spark, SF_DIR))
-            timings[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                _count(qs[name](spark, SF_DIR))
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
         spark.stop()
 
     result = {
@@ -187,22 +239,26 @@ def main() -> None:
     }
     if not skip_scaling:
         s = scaling_run(n_docs)
+        rec = _record_window(s)
         result["scaling"] = {
             "n_docs": n_docs,
             "docs_per_sec_n": round(s["n"]["docs_per_sec"], 1),
             "docs_per_sec_4n": round(s["4n"]["docs_per_sec"], 1),
             "masters": [s["n"]["master"], s["4n"]["master"]],
+            "rounds": s["rounds"],
             "scaling_efficiency": round(s["scaling_efficiency"], 3),
+            "scaling_efficiency_median": round(s["scaling_efficiency_median"], 3),
         }
-        _write_bench_md(result, s, n_docs)
+        _write_bench_md(result, s, n_docs, rec)
     print(json.dumps(result))
 
 
-def _write_bench_md(result: dict, s: dict, n_docs: int) -> None:
+def _write_bench_md(result: dict, s: dict, n_docs: int, rec: dict) -> None:
     lines = [
         "# BENCH — measured numbers (written by bench.py)",
         "",
-        f"Headline operator queries at `{SF_DIR}` on `local[{CPUS}]`:",
+        f"Headline operator queries at `{SF_DIR}` on `local[{CPUS}]`",
+        "(best-of-2, plan cache cleared between trials):",
         "",
         "| query | sec |",
         "|---|---|",
@@ -213,12 +269,33 @@ def _write_bench_md(result: dict, s: dict, n_docs: int) -> None:
         "",
         f"## Scaling (north rule): quality pipeline over {n_docs:,} synthetic pages",
         "",
-        "| parallelism | wall s | docs/sec |",
-        "|---|---|---|",
-        f"| {s['n']['master']} (N) | {s['n']['wall_s']:.1f} | {s['n']['docs_per_sec']:.0f} |",
-        f"| {s['4n']['master']} (4N) | {s['4n']['wall_s']:.1f} | {s['4n']['docs_per_sec']:.0f} |",
+        "| parallelism | best wall s | median wall s | all walls s | docs/sec (best) |",
+        "|---|---|---|---|---|",
+        f"| {s['n']['master']} (N) | {s['n']['wall_s']:.1f} | {s['n']['wall_s_median']:.1f} | {s['n']['walls']} | {s['n']['docs_per_sec']:.0f} |",
+        f"| {s['4n']['master']} (4N) | {s['4n']['wall_s']:.1f} | {s['4n']['wall_s_median']:.1f} | {s['4n']['walls']} | {s['4n']['docs_per_sec']:.0f} |",
         "",
-        f"**Scaling efficiency (tput_4N / (4 × tput_N)): {s['scaling_efficiency']:.3f}** (target ≥ 0.8)",
+        f"**Scaling efficiency (tput_4N / (4 × tput_N)): {s['scaling_efficiency']:.3f} best-of-{s['rounds']},"
+        f" {s['scaling_efficiency_median']:.3f} median** (target ≥ 0.8)",
+        "",
+        "### Standing window record (SCALING_WINDOWS.json)",
+        "",
+        "The efficiency claim is reported per WINDOW against the host's own",
+        "hardware ceiling (pure-python multiprocessing calibration on this",
+        "shared 32-core/no-SMT VM — the scaling available to perfect code):",
+        "",
+        "| window | engine eff (best / median) | hw calibration | engine ÷ hw | docs | rounds | measured |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    cal = rec.get("calibration", {})
+    for win, r in sorted((k, v) for k, v in rec.items() if k != "calibration"):
+        c = cal.get(win)
+        norm = f"{r['efficiency_best'] / c:.2f}" if c else "—"
+        cal_s = f"{c:.2f}" if c else "—"
+        lines.append(
+            f"| {win} | {r['efficiency_best']:.3f} / {r['efficiency_median']:.3f} | {cal_s} |"
+            f" {norm} | {r['n_docs']:,} | {r['rounds']} | {r['measured']} |"
+        )
+    lines += [
         "",
         "### Measurement notes",
         "",
@@ -227,20 +304,22 @@ def _write_bench_md(result: dict, s: dict, n_docs: int) -> None:
         "  Unpinned local[N] consumes up to ~4N cores because every chained",
         "  Arrow UDF adds a Python worker per task — pinning makes N vs 4N",
         "  cores literal.",
-        "- A 20k-doc warm-up pass precedes timing (JIT/codegen/worker spin-up",
-        "  are one-time JVM costs, not throughput). The N and 4N children are",
-        "  INTERLEAVED (N, 4N, N, 4N; one timed trial each, plan cache cleared)",
-        "  and the best wall per level wins — the host is a shared VM whose",
-        "  co-tenant noise arrives in minutes-long bursts, so back-to-back",
-        "  trials in one child can poison a single level.",
-        "- Hardware calibration (pure-python multiprocessing burn on this",
-        "  sandbox, 32 real cores / no SMT): 1→32 workers = 22.6×;",
-        "  efficiency 1→4 = 0.98, 2→8 = 0.96, 4→16 = 0.80, 8→32 = 0.72",
-        "  (host oversubscription + memory bandwidth). The 1→4 window is",
-        "  used for the headline N-vs-4N evidence; the wider 2→8 window was",
-        "  also measured this round at 2.4M docs: efficiency 0.71 (the gap",
-        "  to 1→4 tracks the host's own compute+bandwidth ceiling, e.g.",
-        "  pure-JVM/python work there scales ≤0.96 before any engine cost).",
+        "- A FIXED number of interleaved rounds (N, 4N, N, 4N, ...) runs",
+        "  regardless of interim ratios — no optional stopping (ADVICE r2).",
+        "  All trial walls are listed; best-of is the headline (symmetric:",
+        "  a co-tenant burst cannot poison one level in every attempt",
+        "  without hitting the other), median-of-rounds shown alongside.",
+        "- Both levels run IDENTICAL task sets: input partitions sized by",
+        "  data only, shuffle partitions = 4 tasks/core at each level (the",
+        "  old floor gave local[1] 8 waves vs local[4]'s 4 — ADVICE r2).",
+        "- A 20k-doc warm-up pass precedes timing (JIT/codegen/worker",
+        "  spin-up are one-time JVM costs, not throughput); the plan cache",
+        "  is cleared before the timed pass.",
+        "- Hardware calibration (pure-python multiprocessing burn): 1→32",
+        "  workers = 22.6×; per-window efficiencies in the table above.",
+        "  The 1→4 window is where the hardware can fully express 4×, so",
+        "  it carries the headline; wider windows are recorded so the",
+        "  claim is window-independent after normalizing by the ceiling.",
         "- Fixed driver-synchronous latency (ECDF probe+counts jobs, KMeans",
         "  init sample, 2 Lloyd rounds ≈ 7 jobs, ~2-4 s total) does not",
         "  scale with cores; the input size is chosen large enough that it",

@@ -37,6 +37,13 @@ CHECKS = {
     # multi-table LSH ANN re-rank: equi-join on (table, bucket); the
     # small query side must broadcast
     "q36_lsh_ann": ["BroadcastHashJoin", "!Cartesian"],
+    # DBSCAN neighbor candidates: grid-cell hash EQUI-join, never an
+    # all-pairs CartesianProduct. (A BroadcastNestedLoopJoin DOES
+    # appear: the intentional point × 3^d-offset fan-out against the
+    # 9-row broadcast offsets table — constant build side, not
+    # data×data.) Building the plan runs the label-propagation loop —
+    # expected, it is an iterative operator.
+    "q46_dbscan": ["!Cartesian", "BroadcastHashJoin"],
     # parallel-exact ECDF must NEVER collapse to a single-partition
     # global sort (the naive cume_dist shape). At sf0.01 the feature is
     # low-cardinality → broadcast value-map path (no shuffle at all);
