@@ -1203,6 +1203,31 @@ def q45_pipeline_summary(spark, sf_dir):
     return summarize_clusters(q00_quality_pipeline(spark, sf_dir))
 
 
+def q47_ivf_ann(spark, sf_dir):
+    """IVF ANN (the other standard ANN scale path next to q36's LSH):
+    spherical k-means coarse quantizer (trained on a deterministic
+    corpus sample), corpus partitioned into inverted lists, queries
+    probe their nprobe nearest lists, exact cosine re-rank.
+    ORACLE-CHECKED against the exact top-k SQL at nprobe = nlist
+    (exhaustive probing): the driver's embeddings fixture is isotropic
+    (no cosine cluster structure — measured: covering the true top-3
+    sub-exhaustively needs ≥26/32 lists), so the oracle gate verifies
+    the whole IVF machinery — quantizer fit, list assignment, probe
+    join, re-rank — bit-for-bit, while the APPROXIMATE regime
+    (nprobe ≪ nlist, recall ≥ 0.8) is pinned on a clustered fixture in
+    tests/test_similarity.py where list pruning actually has signal."""
+    from webdq import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    cents = similarity.ivf_fit(e, nlist=16)
+    return similarity.ivf_topk(e, q, cents, k=3, nprobe=16)
+
+
+# exact top-k: identical to SQL_33 — the IVF path must match it exactly
+SQL_47 = SQL_36
+
+
 # --------------------------------------------------------------------------
 # M10 — DBSCAN (reference demo/DBScan.ipynb) over the first two
 # embedding coordinates: grid-bucketed neighbor join + core flags +
@@ -1300,6 +1325,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_minhash_banded": q44_minhash_banded,
     "q45_pipeline_summary": q45_pipeline_summary,
     "q46_dbscan": q46_dbscan,
+    "q47_ivf_ann": q47_ivf_ann,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1347,6 +1373,7 @@ _ORACLES: dict[str, str] = {
     "q42_host_agg": _sql_42(),
     "q44_minhash_banded": SQL_44,
     "q46_dbscan": SQL_46,
+    "q47_ivf_ann": SQL_47,
 }
 
 

@@ -41,3 +41,26 @@ def test_lsh_buckets_deterministic(spark):
     a = {r["vec_id"]: r["bucket"] for r in similarity.lsh_buckets(df.repartition(1), dim=16).collect()}
     b = {r["vec_id"]: r["bucket"] for r in similarity.lsh_buckets(df.repartition(7), dim=16).collect()}
     assert a == b
+
+
+def test_ivf_topk_recall_and_exhaustive_exact(spark):
+    """IVF ANN: decent recall at nprobe << nlist on clustered data;
+    nprobe == nlist (exhaustive probing) must equal the exact top-k
+    bit-for-bit."""
+    df, _ = _emb_df(spark)
+    q = df.filter("vec_id < 6").selectExpr("vec_id as query_id", "embedding")
+    cents = similarity.ivf_fit(df, nlist=8, sample_n=120)
+    exact = similarity.cosine_topk(df, q, k=5)
+    approx = similarity.ivf_topk(df, q, cents, k=5, nprobe=2)
+    assert similarity.ann_recall(exact, approx) >= 0.8
+    exhaustive = similarity.ivf_topk(df, q, cents, k=5, nprobe=8)
+    a = sorted(map(tuple, exact.collect()))
+    b = sorted(map(tuple, exhaustive.collect()))
+    assert a == b
+
+
+def test_ivf_fit_deterministic(spark):
+    df, _ = _emb_df(spark)
+    c1 = similarity.ivf_fit(df, nlist=8, sample_n=120)
+    c2 = similarity.ivf_fit(df.repartition(9), nlist=8, sample_n=120)
+    np.testing.assert_array_equal(c1, c2)

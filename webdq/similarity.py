@@ -133,6 +133,97 @@ def lsh_topk(
     )
 
 
+def ivf_fit(
+    corpus: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    sample_n: int = 4096,
+    iters: int = 25,
+) -> np.ndarray:
+    """Coarse quantizer for IVF ANN: k-means centroids (nlist, dim)
+    trained on a deterministic hash-ordered corpus sample — the
+    standard IVF practice (e.g. FAISS trains the quantizer on a
+    sample; only ASSIGNMENT is corpus-wide and that stays
+    distributed). Same init as ml.kmeans_fit: k-means++ on the sample
+    + Lloyd, fully deterministic."""
+    from . import ml
+
+    samp = (
+        corpus.select(F.xxhash64(F.col(id_col)).alias("_h"), F.col(vec_col).alias("_v"))
+        .orderBy("_h")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in samp])
+    # SPHERICAL quantizer: the search metric is cosine, and cosine is
+    # L2 on unit vectors — train and assign on normalized vectors so
+    # the inverted lists align with cosine neighborhoods (the FAISS
+    # inner-product-IVF practice).
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return ml._lloyd_numpy(X, ml._kmeanspp_init(X, nlist, seed), max_iter=iters)
+
+
+def _ivf_lists_udf(centroids: np.ndarray, nprobe: int):
+    """argmin-L2 list assignment, top-``nprobe`` lists per vector —
+    one batched matmul per Arrow batch (ties broken by list id via
+    stable argsort; same IEEE arithmetic on every executor)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C**2).sum(axis=1)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        d2 = -2.0 * (M @ C.T) + c2[None, :]  # |x|² == 1 per row — drop it
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN top-k: corpus rows live in their nearest-centroid list
+    (the inverted file); each query probes its ``nprobe`` nearest
+    lists; candidates = list equi-join, re-ranked by exact cosine.
+    nprobe = nlist ⇒ exhaustive (== cosine_topk). The scale shape:
+    candidate volume is |corpus|·(nprobe/nlist) on average, candidate
+    generation is a bounded-fanout equi-join, and the per-list corpus
+    partitioning is exactly how a 100-TB index would be laid out on
+    disk (one partition per list → probing reads only nprobe/nlist of
+    the data: partition pruning for vectors)."""
+    assign1 = _ivf_lists_udf(centroids, 1)
+    assignp = _ivf_lists_udf(centroids, nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("_list", F.element_at(assign1(F.col("_cv")), 1))
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).withColumn("_list", F.explode(assignp(F.col("_qv"))))
+    cand = (
+        c.join(F.broadcast(q), "_list")
+        .filter(F.col("neighbor_id") != F.col("_qid"))
+        .withColumn("cosine", cosine_col(F.col("_cv"), F.col("_qv")))
+        .dropDuplicates(["_qid", "neighbor_id"])
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias("query_id"), "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def ann_recall(exact: DataFrame, approx: DataFrame) -> float:
     """Diagnostic: |approx ∩ exact| / |exact| over (query, neighbor)."""
     e = exact.select("query_id", "neighbor_id")
