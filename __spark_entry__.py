@@ -1203,6 +1203,33 @@ def q45_pipeline_summary(spark, sf_dir):
     return summarize_clusters(q00_quality_pipeline(spark, sf_dir))
 
 
+def q48_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode with a value-exact oracle: flat-color
+    JPEGs (dims + RGB deterministic in doc_id) are ENCODED by the
+    pure-numpy codec (webdq.jpegcodec: DCT, quantization, huffman) and
+    DECODED by the same module via mapInPandas; flat colors at
+    quality 98 survive the lossy roundtrip byte-exactly (DC quant step
+    1; pinned in tests), so DuckDB recomputes every output field from
+    doc_id arithmetic — a hash-exact gate over the whole codec."""
+    from webdq import multimodal
+
+    media = multimodal.jpeg_media_from_documents(spark, sf_dir)
+    out = multimodal.decode_image_features(media)
+    return out.select(
+        "media_id", "width", "height", "channels", F.round("mean_byte", 6).alias("mean_byte")
+    )
+
+
+SQL_48 = """
+SELECT doc_id AS media_id,
+       CAST(8 + doc_id % 9 AS INT) AS width,
+       CAST(8 + (doc_id // 9) % 7 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       round(((doc_id % 224 + 16) + ((doc_id * 7) % 224 + 16) + ((doc_id * 13) % 224 + 16)) / 3.0, 6) AS mean_byte
+FROM documents
+"""
+
+
 def q47_ivf_ann(spark, sf_dir):
     """IVF ANN (the other standard ANN scale path next to q36's LSH):
     spherical k-means coarse quantizer (trained on a deterministic
@@ -1326,6 +1353,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_pipeline_summary": q45_pipeline_summary,
     "q46_dbscan": q46_dbscan,
     "q47_ivf_ann": q47_ivf_ann,
+    "q48_jpeg_decode": q48_jpeg_decode,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1374,6 +1402,7 @@ _ORACLES: dict[str, str] = {
     "q44_minhash_banded": SQL_44,
     "q46_dbscan": SQL_46,
     "q47_ivf_ann": SQL_47,
+    "q48_jpeg_decode": SQL_48,
 }
 
 

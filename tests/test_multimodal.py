@@ -81,10 +81,14 @@ def test_wav_decode_matches_stdlib(spark):
         assert 0.2 < r["rms"] < 0.3
 
 
-def test_jpeg_png_seam_raises(spark):
+def test_jpeg_decodes_and_png_seam_raises(spark):
+    """JPEG now decodes for real (malformed streams fail loudly as
+    JpegDecodeError); PNG remains the one NotImplementedError seam."""
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
+    from webdq.jpegcodec import JpegDecodeError
+
+    with _pytest.raises(JpegDecodeError):
         multimodal._decode_one(b"\xff\xd8\xff\xe0" + b"\x00" * 32, fake=False)
     with _pytest.raises(NotImplementedError):
         multimodal._decode_one(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32, fake=False)
@@ -153,3 +157,72 @@ def test_avi_parser_rejects_non_avi(spark):
     assert multimodal._parse_avi(b"RIFFxxxxWAVE") is None
     assert multimodal._parse_avi(b"\xff\xd8junk") is None
     assert multimodal._parse_avi(None) is None
+
+
+def test_jpeg_roundtrip_gradient():
+    """Full encode→decode through DCT/quant/huffman on a smooth
+    gradient: max per-pixel error ≤ 2 at quality 95."""
+    from webdq.jpegcodec import decode_jpeg, encode_jpeg
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.dstack(
+        [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (w + h))]
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == (h, w, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_flat_colors_byte_exact():
+    """Flat interior colors at quality 98 survive the lossy roundtrip
+    BYTE-EXACTLY (DC quant step 1) — the property the q48 oracle
+    stands on. Swept over colors and non-8-multiple dims."""
+    from webdq.jpegcodec import decode_jpeg, encode_jpeg
+
+    for seed in range(12):
+        rgb = np.array(
+            [seed * 19 % 224 + 16, seed * 37 % 224 + 16, seed * 53 % 224 + 16], dtype=np.uint8
+        )
+        h, w = 8 + seed % 7, 9 + seed % 9
+        img = np.broadcast_to(rgb, (h, w, 3))
+        dec = decode_jpeg(encode_jpeg(img, quality=98))
+        assert dec.shape == (h, w, 3)
+        np.testing.assert_array_equal(dec, img)
+
+
+def test_jpeg_decodes_thirdparty_files():
+    """Independent validation: baseline JPEGs produced by other
+    encoders (CPython test-suite assets) must parse and decode with
+    sane dimensions. Skipped if the assets are absent."""
+    import os
+
+    from webdq.jpegcodec import decode_jpeg
+
+    base = "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11"
+    candidates = [
+        (f"{base}/test/imghdrdata/python.jpg", (16, 16)),
+        (f"{base}/site-packages/IPython/core/tests/2x2.jpg", (2, 2)),
+    ]
+    found = [(p, d) for p, d in candidates if os.path.exists(p)]
+    if not found:
+        pytest.skip("no third-party JPEG assets in this container")
+    for path, (h, w) in found:
+        img = decode_jpeg(open(path, "rb").read())
+        assert img.shape == (h, w, 3)
+        assert 0.0 < float(img.mean()) < 255.0
+
+
+def test_jpeg_media_decode_matches_formula(spark):
+    """Distributed end-to-end: encode per-doc flat JPEGs, decode via
+    mapInPandas, compare every field to the doc_id arithmetic the q48
+    DuckDB oracle uses."""
+    media = multimodal.jpeg_media_from_documents(spark, "/root/testdata/sf0.001")
+    got = multimodal.decode_image_features(media).toPandas().set_index("media_id").sort_index()
+    for did in got.index[:50]:
+        r = got.loc[did]
+        rgb = (did % 224 + 16, (did * 7) % 224 + 16, (did * 13) % 224 + 16)
+        assert (r["width"], r["height"], r["channels"]) == (8 + did % 9, 8 + (did // 9) % 7, 3)
+        np.testing.assert_allclose(r["mean_byte"], sum(rgb) / 3.0, rtol=0, atol=1e-12)
+
+

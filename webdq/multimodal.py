@@ -7,12 +7,14 @@ schemas, partition-preserving ``mapInPandas`` batch transforms, Arrow
 batch shapes, deterministic outputs.
 
 Codecs: the container has no PIL/libvips/ffmpeg, so the REAL decoders
-cover the public uncompressed formats a pure-numpy parser can handle —
-binary PPM (P6) images and RIFF/WAVE PCM16 audio. Compressed formats
-(JPEG/PNG magic) raise ``NotImplementedError`` at the same seam: swap
-``_decode_one`` / ``_decode_wav`` internals for PIL/ffmpeg and nothing
-else changes. The legacy ``WDQ0`` synthetic container remains for the
-video frame-sampling plumbing (``fake=True`` parses its header).
+are pure numpy/python — binary PPM (P6) images, BASELINE JPEG
+(``webdq.jpegcodec``: full huffman + dequant + IDCT + chroma
+upsampling; validated against third-party JPEG files), RIFF/WAVE
+PCM16 audio, and uncompressed-RGB RIFF/AVI video. PNG still raises
+``NotImplementedError`` at the codec seam: swap the ``_decode_one``
+branch for PIL/libvips and nothing else changes. The legacy ``WDQ0``
+synthetic container remains for the fake-header plumbing
+(``fake=True`` parses it).
 """
 
 from __future__ import annotations
@@ -117,9 +119,21 @@ def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, int, float, np.nd
     payload = bytes(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
-    if payload[:2] == b"\xff\xd8" or payload[:4] == b"\x89PNG":
-        # Compressed-format seam: swap in PIL/libvips here.
-        raise NotImplementedError("JPEG/PNG decoding requires PIL/libvips — not available in this container")
+    if payload[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+
+        rgb = decode_jpeg(payload)  # (h, w, 3) uint8
+        body = rgb.reshape(-1)
+        return (
+            int(rgb.shape[1]),
+            int(rgb.shape[0]),
+            3,
+            float(body.mean()) if len(body) else 0.0,
+            _hist16(body),
+        )
+    if payload[:4] == b"\x89PNG":
+        # Remaining compressed-format seam: swap in PIL/libvips here.
+        raise NotImplementedError("PNG decoding requires PIL/libvips — not available in this container")
     if payload[:4] == b"WDQ0":
         if not fake:
             raise NotImplementedError("WDQ0 is the synthetic container; decode with fake=True")
@@ -185,6 +199,45 @@ def ppm_media_from_documents(spark, sf_dir: str) -> DataFrame:
         F.concat(F.encode(header, "UTF-8"), body).alias("payload"),
         F.create_map(F.lit("source"), F.lit("documents-ppm")).alias("meta"),
     )
+
+
+def jpeg_media_from_documents(spark, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG payloads built per document inside
+    ``mapInPandas``: each doc encodes a flat-color image whose RGB and
+    dimensions are deterministic functions of doc_id. Flat colors in
+    [16, 239] at quality 98 survive the full DCT/quant/huffman
+    roundtrip BYTE-EXACTLY (DC quant step 1 ⇒ channel error < 0.5
+    before the final rounding — verified in tests), so every decode
+    output field is recomputable by DuckDB from doc_id alone: the q48
+    oracle drives the entire encoder+decoder through a value-exact
+    gate. Non-8-multiple dims exercise the block edge-padding path."""
+    from .jpegcodec import encode_jpeg
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w = 8 + did % 9
+                h = 8 + (did // 9) % 7
+                rgb = np.array(
+                    [did % 224 + 16, (did * 7) % 224 + 16, (did * 13) % 224 + 16],
+                    dtype=np.uint8,
+                )
+                img = np.broadcast_to(rgb, (h, w, 3))
+                payloads.append(encode_jpeg(img, quality=98))
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"].to_numpy(),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [{"source": "documents-jpeg"}] * len(b),
+                }
+            )
+
+    return d.mapInPandas(gen, MEDIA_SCHEMA)
 
 
 # ------------------------------------------------------------------ WAV
