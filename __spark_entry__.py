@@ -1203,6 +1203,39 @@ def q45_pipeline_summary(spark, sf_dir):
     return summarize_clusters(q00_quality_pipeline(spark, sf_dir))
 
 
+def q49_partitioned_layout(spark, sf_dir):
+    """Partitioned-layout roundtrip (the S4-family layout operator at
+    scale): documents → hive-partitioned parquet by (source, lang) →
+    read back with a partition filter → aggregate. The partition
+    filter prunes whole directories at planning time (PartitionFilters
+    in the scan — asserted by tests/test_storage.py); the oracle reads
+    the original table, so the layout roundtrip is value-checked."""
+    import os
+    import tempfile
+
+    from webdq import storage
+
+    stage = os.path.join(
+        tempfile.gettempdir(), "webdq_part_stage", os.path.basename(sf_dir.rstrip("/")), "documents"
+    )
+    d = _t(spark, sf_dir, "documents")
+    storage.write_partitioned(d, stage, ["source", "lang"])
+    back = storage.read_partitioned(spark, stage).filter(F.col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+SQL_49 = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc
+FROM documents WHERE lang = 'en' GROUP BY source
+"""
+
+
 def q48_jpeg_decode(spark, sf_dir):
     """REAL baseline-JPEG decode with a value-exact oracle: flat-color
     JPEGs (dims + RGB deterministic in doc_id) are ENCODED by the
@@ -1354,6 +1387,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_dbscan": q46_dbscan,
     "q47_ivf_ann": q47_ivf_ann,
     "q48_jpeg_decode": q48_jpeg_decode,
+    "q49_partitioned_layout": q49_partitioned_layout,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1403,6 +1437,7 @@ _ORACLES: dict[str, str] = {
     "q46_dbscan": SQL_46,
     "q47_ivf_ann": SQL_47,
     "q48_jpeg_decode": SQL_48,
+    "q49_partitioned_layout": SQL_49,
 }
 
 
