@@ -229,6 +229,16 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             timings[name] = round(best, 3)
         spark.stop()
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "HEADLINE_TIMINGS.json"), "w") as f:
+            json.dump(timings, f, indent=2)
+    else:
+        # a --skip-headline scaling run must not clobber BENCH.md's
+        # headline table: reuse the last measured timings
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "HEADLINE_TIMINGS.json")) as f:
+                timings = json.load(f)
+        except (OSError, ValueError):
+            timings = {}
 
     result = {
         "metric": "headline_queries_total",
