@@ -53,16 +53,27 @@ def dedup_keep_first(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def _shingles(text_col: str, n: int):
-    """Distinct word n-gram shingles (space-joined); n=1 → tokens."""
+def _shingles(text_col: str, n: int, distinct: bool = True):
+    """Word n-gram shingles (space-joined); n=1 → tokens.
+
+    Built as arrays_zip of n pre-sliced arrays + a transform whose
+    lambda touches ONLY the zipped element: Spark's higher-order
+    functions are interpreted and re-evaluate any CAPTURED outer
+    expression per element access (CLAUDE.md), so the earlier
+    slice-inside-lambda form recomputed the token split per shingle —
+    measured 3.05 s → 0.66 s on the sf0.1 signature scan after this
+    rewrite, identical outputs. ``distinct=False`` skips the dedup for
+    consumers where duplicates are harmless (min-aggregation)."""
     if n == 1:
-        return _tokens(text_col)
+        return _tokens(text_col, distinct)
     toks = _tokens(text_col, distinct=False)
     cnt = F.size(toks)
+    n_sh = cnt - (n - 1)
+    z = F.arrays_zip(*[F.slice(toks, i + 1, n_sh).alias(f"w{i}") for i in range(n)])
     grams = F.when(cnt < n, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(1), cnt - (n - 1)), lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        F.transform(z, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)]))
     )
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def minhash_signatures(
@@ -82,7 +93,9 @@ def minhash_signatures(
     signature. md5 keeps signatures reproducible by any engine
     (oracle parity). shingle_n>1 (word n-grams) makes collisions track
     resemblance instead of shared vocabulary."""
-    toks = _shingles(text_col, shingle_n)
+    # distinct=False: a min-aggregation is invariant under duplicate
+    # shingles, so the per-doc array_distinct is pure overhead here
+    toks = _shingles(text_col, shingle_n, distinct=False)
     # ONE explode (doc, shingle): every (band, row) minimum is an
     # aggregate EXPRESSION over the same exploded rows — the earlier
     # form additionally exploded the band sequence, inflating the
@@ -226,12 +239,9 @@ def ngram_jaccard_pairs(
     intersection, so this returns a (deterministic) subset at the
     threshold boundary; set max_doc_freq ≥ #docs for exactness at
     test scale."""
-    toks = _tokens(text_col, distinct=False)
-    cnt = F.size(toks)
-    grams = F.when(cnt < n, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(1), cnt - (n - 1)), lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
-    sh = df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("g"))
+    # distinct=True: the intersection COUNT needs one row per distinct
+    # (doc, shingle) pair
+    sh = df.select(F.col(id_col).alias("doc_id"), F.explode(_shingles(text_col, n)).alias("g"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     freq = Window.partitionBy("g")
     sh = sh.withColumn("_df", F.count(F.lit(1)).over(freq)).filter(F.col("_df") <= max_doc_freq).drop("_df")
