@@ -1203,6 +1203,50 @@ def q45_pipeline_summary(spark, sf_dir):
     return summarize_clusters(q00_quality_pipeline(spark, sf_dir))
 
 
+def q50_chunking(spark, sf_dir):
+    """Training-data sharding: overlapping token-window chunks
+    (window 32, overlap 8 → stride 24; short docs yield one ragged
+    chunk). Pure array algebra — the token split materializes once per
+    document before the Generate."""
+    from webdq import textprep
+
+    return textprep.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+SQL_50 = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents),
+     c AS (SELECT doc_id, w,
+                  greatest(1, CAST(ceil((len(w) - 8) / 24.0) AS BIGINT)) AS nc
+           FROM t),
+     e AS (SELECT doc_id, w, unnest(range(nc)) AS i FROM c)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       array_to_string(w[i * 24 + 1 : least(i * 24 + 32, len(w))], ' ') AS chunk_text,
+       CAST(least(32, len(w) - i * 24) AS INT) AS n_tokens
+FROM e
+"""
+
+
+def q51_repetition_removal(spark, sf_dir):
+    """Within-document repetition removal: collapse consecutive
+    duplicate tokens (388/500 fixture docs carry them), emitting the
+    cleaned text + removed count — value-exact vs a DuckDB list
+    comprehension."""
+    from webdq import textprep
+
+    return textprep.dedup_consecutive_tokens(_t(spark, sf_dir, "documents"))
+
+
+SQL_51 = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents)
+SELECT doc_id,
+       array_to_string([w[i] for i in range(1, len(w) + 1) if i = 1 or w[i] <> w[i - 1]], ' ') AS clean_text,
+       CAST(len(w) - len([w[i] for i in range(1, len(w) + 1) if i = 1 or w[i] <> w[i - 1]]) AS INT) AS n_removed
+FROM t
+"""
+
+
 def q49_partitioned_layout(spark, sf_dir):
     """Partitioned-layout roundtrip (the S4-family layout operator at
     scale): documents → hive-partitioned parquet by (source, lang) →
@@ -1388,6 +1432,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_ivf_ann": q47_ivf_ann,
     "q48_jpeg_decode": q48_jpeg_decode,
     "q49_partitioned_layout": q49_partitioned_layout,
+    "q50_chunking": q50_chunking,
+    "q51_repetition_removal": q51_repetition_removal,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1438,6 +1484,8 @@ _ORACLES: dict[str, str] = {
     "q47_ivf_ann": SQL_47,
     "q48_jpeg_decode": SQL_48,
     "q49_partitioned_layout": SQL_49,
+    "q50_chunking": SQL_50,
+    "q51_repetition_removal": SQL_51,
 }
 
 
