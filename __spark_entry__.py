@@ -1247,6 +1247,28 @@ FROM t
 """
 
 
+def q52_token_counts(spark, sf_dir):
+    """Token counting both ways (whitespace + BPE-ish pretokenizer
+    regex) as single native regexp passes; the DuckDB oracle re-counts
+    with RE2 — the pattern is restricted to constructs where Java
+    regex and RE2 share leftmost-first alternation semantics."""
+    from webdq import textprep
+
+    return textprep.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _sql_52():
+    from webdq.textprep import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return rf"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q49_partitioned_layout(spark, sf_dir):
     """Partitioned-layout roundtrip (the S4-family layout operator at
     scale): documents → hive-partitioned parquet by (source, lang) →
@@ -1434,6 +1456,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_partitioned_layout": q49_partitioned_layout,
     "q50_chunking": q50_chunking,
     "q51_repetition_removal": q51_repetition_removal,
+    "q52_token_counts": q52_token_counts,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1486,6 +1509,7 @@ _ORACLES: dict[str, str] = {
     "q49_partitioned_layout": SQL_49,
     "q50_chunking": SQL_50,
     "q51_repetition_removal": SQL_51,
+    "q52_token_counts": _sql_52(),
 }
 
 

@@ -60,3 +60,23 @@ def test_dedup_consecutive_matches_python(spark):
         kept = [t for i, t in enumerate(toks) if i == 0 or t != toks[i - 1]]
         assert got[r["doc_id"]] == (" ".join(kept), len(toks) - len(kept)), r["doc_id"]
     assert got[2][1] == 6  # 2×the + 1×quick + 3×fox
+
+
+def test_token_counts_match_python_re(spark):
+    import re
+
+    rows = [
+        (0, "it's a test, isn't it? 123 abc-def   trailing  "),
+        (1, "don't you'll we're I'd o'clock 'quoted'"),
+        (2, "x"),
+        (3, "a  b\tc\nd"),
+        (4, "!!!???...:;(){}[]"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"]) for r in textprep.token_counts(df).collect()}
+    pat = re.compile(textprep.BPE_ISH_PATTERN)
+    for did, text in rows:
+        ws = len(text.strip().split())
+        # Spark's split on \s+ of a trimmed string == python .split()
+        bpe = len(pat.findall(text))
+        assert got[did] == (ws, bpe), (did, got[did], (ws, bpe))

@@ -61,6 +61,27 @@ def chunk_documents(
     )
 
 
+# GPT-2-style pretokenizer pattern, restricted to constructs both Java
+# regex and RE2 support with identical leftmost-first alternation
+# semantics (no lookarounds, no unicode categories): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+# whitespace runs. Counting its matches approximates BPE token counts
+# ~within a few % on English text (each match is one pretoken; BPE
+# only splits rare pretokens further).
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish pretoken count, both as single
+    native regexp passes (no split arrays materialized)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(t), r"\s+")).alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_ISH_PATTERN)).alias("n_bpe_tokens"),
+    )
+
+
 def dedup_consecutive_tokens(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
