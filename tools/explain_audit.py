@@ -44,6 +44,17 @@ CHECKS = {
     # data×data.) Building the plan runs the label-propagation loop —
     # expected, it is an iterative operator.
     "q46_dbscan": ["!Cartesian", "BroadcastHashJoin"],
+    # IVF ANN: inverted-list probe join must broadcast the small query
+    # side; no all-pairs product
+    "q47_ivf_ann": ["BroadcastHashJoin", "!Cartesian"],
+    # partitioned layout: the partition predicate must prune at the
+    # scan (directory pruning), not as a post-scan Filter only
+    "q49_partitioned_layout": ["PartitionFilters: [isnotnull(lang", "!Exchange SinglePartition"],
+    # chunking/repetition removal are per-row array algebra: a single
+    # stage, no shuffle at all
+    "q50_chunking": ["!Exchange"],
+    "q51_repetition_removal": ["!Exchange"],
+    "q52_token_counts": ["!Exchange"],
     # parallel-exact ECDF must NEVER collapse to a single-partition
     # global sort (the naive cume_dist shape). At sf0.01 the feature is
     # low-cardinality → broadcast value-map path (no shuffle at all);

@@ -21,9 +21,15 @@ pipeline   checkpointed resumable stages + lineage/metrics (§2.10, §4)
 hostagg    two-level labeling: host metadata → host clusters → pages (M9)
 dedup      exact / MinHash-LSH (r rows/band) / SimHash / n-gram-Jaccard /
            embedding dedup
-similarity brute-force + multi-table sign-LSH cosine top-k ANN
-multimodal binary media columns with real pure-numpy PPM/WAV codecs
+similarity brute-force + multi-table sign-LSH + IVF cosine top-k ANN
+density    distributed DBSCAN (grid equi-join + min-label components)
+multimodal binary media columns with real pure-numpy PPM/JPEG/WAV/AVI codecs
+jpegcodec  pure-numpy baseline JPEG decoder + encoder
+textprep   token-window chunking, repetition removal, token counting
+storage    partitioned (pruned) + bucketed (exchange-free join) layouts
+sinks      JDBC sink (batched, connection-capped)
 streaming  stateless scoring + windowed stats + stateful cross-batch dedup
+           (optional state TTL)
 oracle     driver-side pandas/numpy reference implementation (tests)
 """
 
