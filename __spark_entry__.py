@@ -1269,6 +1269,34 @@ FROM documents
 """
 
 
+def q53_png_decode(spark, sf_dir):
+    """REAL PNG decode with a value-exact oracle: byte-ramp RGB images
+    (pixel i = (doc_id·31+i) mod 256) are ENCODED by the pure-python
+    codec (webdq.pngcodec: zlib deflate + chunk framing) and DECODED
+    back (inflate + scanline unfiltering) via mapInPandas. PNG is
+    lossless, so DuckDB recomputes the decoded mean from the same
+    arithmetic — a hash-exact gate over the whole codec on non-trivial
+    images (stronger than q48's flat-color JPEG property)."""
+    from webdq import multimodal
+
+    media = multimodal.png_media_from_documents(spark, sf_dir)
+    out = multimodal.decode_image_features(media)
+    return out.select(
+        "media_id", "width", "height", "channels", F.round("mean_byte", 6).alias("mean_byte")
+    )
+
+
+SQL_53 = """
+SELECT doc_id AS media_id,
+       CAST(5 + doc_id % 8 AS INT) AS width,
+       CAST(4 + (doc_id // 8) % 6 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       round(list_avg([(doc_id * 31 + i) % 256
+                       for i in range((4 + (doc_id // 8) % 6) * (5 + doc_id % 8) * 3)]), 6) AS mean_byte
+FROM documents
+"""
+
+
 def q49_partitioned_layout(spark, sf_dir):
     """Partitioned-layout roundtrip (the S4-family layout operator at
     scale): documents → hive-partitioned parquet by (source, lang) →
@@ -1457,6 +1485,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_chunking": q50_chunking,
     "q51_repetition_removal": q51_repetition_removal,
     "q52_token_counts": q52_token_counts,
+    "q53_png_decode": q53_png_decode,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1510,6 +1539,7 @@ _ORACLES: dict[str, str] = {
     "q50_chunking": SQL_50,
     "q51_repetition_removal": SQL_51,
     "q52_token_counts": _sql_52(),
+    "q53_png_decode": SQL_53,
 }
 
 

@@ -81,17 +81,56 @@ def test_wav_decode_matches_stdlib(spark):
         assert 0.2 < r["rms"] < 0.3
 
 
-def test_jpeg_decodes_and_png_seam_raises(spark):
-    """JPEG now decodes for real (malformed streams fail loudly as
-    JpegDecodeError); PNG remains the one NotImplementedError seam."""
+def test_compressed_codecs_fail_loudly_on_malformed(spark):
+    """JPEG and PNG decode for real now; malformed streams must fail
+    loudly (decode errors), never silently zero out."""
     import pytest as _pytest
 
     from webdq.jpegcodec import JpegDecodeError
+    from webdq.pngcodec import PngDecodeError
 
     with _pytest.raises(JpegDecodeError):
         multimodal._decode_one(b"\xff\xd8\xff\xe0" + b"\x00" * 32, fake=False)
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(PngDecodeError):
         multimodal._decode_one(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32, fake=False)
+
+
+def test_png_roundtrip_lossless_and_thirdparty():
+    import os
+
+    import pytest as _pytest
+
+    from webdq.pngcodec import decode_png, encode_png
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(21, 33, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+    gray = rng.randint(0, 256, size=(7, 9), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(gray))[:, :, 0], gray)
+
+    base = "/mnt/sandboxing/model_tools_env/v1/python/install"
+    candidates = [
+        (f"{base}/lib/python3.11/site-packages/IPython/core/tests/2x2.png", (2, 2)),
+        (f"{base}/lib/python3.11/idlelib/Icons/idle_16.png", (16, 16)),
+        (f"{base}/share/jupyter/kernels/python3/logo-32x32.png", (32, 32)),
+    ]
+    found = [(p, d) for p, d in candidates if os.path.exists(p)]
+    if not found:
+        _pytest.skip("no third-party PNG assets in this container")
+    for path, (h, w) in found:
+        im = decode_png(open(path, "rb").read())
+        assert im.shape == (h, w, 3)
+
+
+def test_png_media_decode_matches_formula(spark):
+    media = multimodal.png_media_from_documents(spark, "/root/testdata/sf0.001")
+    got = multimodal.decode_image_features(media).toPandas().set_index("media_id").sort_index()
+    for did in got.index[:50]:
+        r = got.loc[did]
+        w, h = 5 + did % 8, 4 + (did // 8) % 6
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        exp = float(((did * 31 + np.arange(h * w * 3, dtype=np.int64)) % 256).mean())
+        np.testing.assert_allclose(r["mean_byte"], exp, rtol=0, atol=1e-12)
 
 
 def test_avi_writer_layout_fixed_offsets(spark):

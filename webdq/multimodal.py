@@ -9,12 +9,14 @@ batch shapes, deterministic outputs.
 Codecs: the container has no PIL/libvips/ffmpeg, so the REAL decoders
 are pure numpy/python — binary PPM (P6) images, BASELINE JPEG
 (``webdq.jpegcodec``: full huffman + dequant + IDCT + chroma
-upsampling; validated against third-party JPEG files), RIFF/WAVE
-PCM16 audio, and uncompressed-RGB RIFF/AVI video. PNG still raises
-``NotImplementedError`` at the codec seam: swap the ``_decode_one``
-branch for PIL/libvips and nothing else changes. The legacy ``WDQ0``
-synthetic container remains for the fake-header plumbing
-(``fake=True`` parses it).
+upsampling), PNG (``webdq.pngcodec``: chunk walk + zlib inflate +
+scanline unfiltering), RIFF/WAVE PCM16 audio, and uncompressed-RGB
+RIFF/AVI video — every image/audio/video format the contract names
+decodes for real, each validated against third-party files and/or a
+value-exact DuckDB oracle (q37/q48/q53). Unknown magic yields zeroed
+features; swapping any ``_decode_one`` branch for PIL/ffmpeg changes
+nothing else. The legacy ``WDQ0`` synthetic container remains for the
+fake-header plumbing (``fake=True`` parses it).
 """
 
 from __future__ import annotations
@@ -132,8 +134,17 @@ def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, int, float, np.nd
             _hist16(body),
         )
     if payload[:4] == b"\x89PNG":
-        # Remaining compressed-format seam: swap in PIL/libvips here.
-        raise NotImplementedError("PNG decoding requires PIL/libvips — not available in this container")
+        from .pngcodec import decode_png
+
+        rgb = decode_png(payload)  # (h, w, 3) uint8
+        body = rgb.reshape(-1)
+        return (
+            int(rgb.shape[1]),
+            int(rgb.shape[0]),
+            3,
+            float(body.mean()) if len(body) else 0.0,
+            _hist16(body),
+        )
     if payload[:4] == b"WDQ0":
         if not fake:
             raise NotImplementedError("WDQ0 is the synthetic container; decode with fake=True")
@@ -234,6 +245,40 @@ def jpeg_media_from_documents(spark, sf_dir: str) -> DataFrame:
                     "media_type": "image",
                     "payload": payloads,
                     "meta": [{"source": "documents-jpeg"}] * len(b),
+                }
+            )
+
+    return d.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def png_media_from_documents(spark, sf_dir: str) -> DataFrame:
+    """REAL PNG payloads built per document inside ``mapInPandas``:
+    each doc encodes an RGB byte-ramp pattern (pixel i =
+    (doc_id·31 + i) mod 256) at doc_id-derived dims. PNG is LOSSLESS,
+    so decode output is exactly the pattern — the q53 DuckDB oracle
+    recomputes the mean with a list comprehension over the same
+    arithmetic, value-checking the whole encoder+inflate+unfilter+
+    decode path on non-trivial images."""
+    from .pngcodec import encode_png
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w = 5 + did % 8
+                h = 4 + (did // 8) % 6
+                idx = np.arange(h * w * 3, dtype=np.int64)
+                img = ((did * 31 + idx) % 256).astype(np.uint8).reshape(h, w, 3)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"].to_numpy(),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [{"source": "documents-png"}] * len(b),
                 }
             )
 
