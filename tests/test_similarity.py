@@ -64,3 +64,34 @@ def test_ivf_fit_deterministic(spark):
     c1 = similarity.ivf_fit(df, nlist=8, sample_n=120)
     c2 = similarity.ivf_fit(df.repartition(9), nlist=8, sample_n=120)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_embedding_neardup_lsh_blocking(spark):
+    """Self-contained LSH-blocked near-dup: exact duplicates are
+    recovered with recall 1 BY CONSTRUCTION (identical sign patterns),
+    noisy near-dups at recall >= 0.8, and every emitted pair truly
+    clears the threshold (numpy-verified precision)."""
+    rng = np.random.RandomState(9)
+    dim = 16
+    base = rng.randn(60, dim)
+    rows = [(i, base[i].tolist()) for i in range(60)]
+    # 10 exact duplicates + 10 near duplicates (tiny noise)
+    for j in range(10):
+        rows.append((1000 + j, base[j].tolist()))
+        noisy = base[20 + j] + 0.02 * rng.randn(dim)
+        rows.append((2000 + j, noisy.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.embedding_neardup_pairs_lsh(
+        df, dim=dim, threshold=0.95, n_bits=8, n_tables=4
+    ).collect()
+    pairs = {(r["id1"], r["id2"]) for r in out}
+    assert all((j, 1000 + j) in pairs for j in range(10)), "exact dups must all collide"
+    near_found = sum((20 + j, 2000 + j) in pairs for j in range(10))
+    assert near_found >= 8
+    # precision: recompute every emitted cosine in numpy
+    vecs = {r[0]: np.array(r[1]) for r in rows}
+    for r in out:
+        a, b = vecs[r["id1"]], vecs[r["id2"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= 0.95 - 1e-9
+        assert abs(cos - r["cosine"]) < 1e-5

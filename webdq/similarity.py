@@ -224,6 +224,47 @@ def ivf_topk(
     )
 
 
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Self-contained embedding near-dup: candidates share a sign-LSH
+    bucket in ANY of ``n_tables`` tables (the production blocking key
+    that dedup.embedding_neardup_pairs's caller-supplied block stands
+    in for), verified by exact cosine ≥ threshold. EXACT duplicates
+    always collide (identical vectors ⇒ identical sign patterns in
+    every table), so recall on true duplicates is 1 by construction;
+    near-duplicate recall follows 1−(1−(1−θ/π)^b)^L. ``max_bucket``
+    drops degenerate hub buckets (the LSH skew guard — a bucket of m
+    rows contributes m² candidate pairs)."""
+    from .dedup import cosine_col as _cos
+
+    keyed = lsh_buckets(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        dim, n_bits, seed, "_v", n_tables=n_tables,
+    )
+    join_keys = ["_table", "bucket"] if n_tables > 1 else ["bucket"]
+    cnt = Window.partitionBy(*join_keys)
+    keyed = keyed.withColumn("_n", F.count(F.lit(1)).over(cnt)).filter(F.col("_n") <= max_bucket).drop("_n")
+    a = keyed.select(*join_keys, F.col("_id").alias("id1"), F.col("_v").alias("_v1"))
+    b = keyed.select(*join_keys, F.col("_id").alias("id2"), F.col("_v").alias("_v2"))
+    return (
+        a.join(b, join_keys)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", _cos(F.col("_v1"), F.col("_v2")))
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id1", "id2"])
+        .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def ann_recall(exact: DataFrame, approx: DataFrame) -> float:
     """Diagnostic: |approx ∩ exact| / |exact| over (query, neighbor)."""
     e = exact.select("query_id", "neighbor_id")
