@@ -88,3 +88,81 @@ def test_scrub_byte_parity(text, pii):
         scrub_col(F.col("text")).alias("s")
     ).collect()
     assert row["s"] == scrub_py(full)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_lossless_property(h, w, seed):
+    """decode(encode(img)) == img for ARBITRARY rgb images — PNG is
+    lossless, so this is exact, pure driver-side (no Spark)."""
+    from webdq.pngcodec import decode_png, encode_png
+
+    img = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    r=st.integers(min_value=16, max_value=239),
+    g=st.integers(min_value=16, max_value=239),
+    b=st.integers(min_value=16, max_value=239),
+)
+def test_jpeg_flat_color_byte_exact_property(h, w, r, g, b):
+    """The q48 oracle's load-bearing property, swept by hypothesis:
+    ANY flat interior color at ANY small dims survives the lossy
+    JPEG roundtrip byte-exactly at quality 98."""
+    from webdq.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = np.broadcast_to(np.array([r, g, b], dtype=np.uint8), (h, w, 3))
+    np.testing.assert_array_equal(decode_jpeg(encode_jpeg(img, quality=98)), img)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "cc", "ddd"]), min_size=1, max_size=40),
+        min_size=1,
+        max_size=5,
+    ),
+    chunk=st.integers(min_value=2, max_value=10),
+    overlap=st.integers(min_value=0, max_value=5),
+)
+def test_chunking_and_rep_removal_properties(docs, chunk, overlap):
+    """Chunking: concatenating chunk windows with the overlap removed
+    reconstructs the document exactly; repetition removal matches the
+    python reference and is idempotent."""
+    from hypothesis import assume
+
+    from webdq import textprep
+
+    assume(overlap < chunk)
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)], "doc_id long, text string"
+    )
+    stride = chunk - overlap
+    out = textprep.chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc: dict = {}
+    for row in out:
+        by_doc.setdefault(row["doc_id"], []).append(row)
+    for i, toks in enumerate(docs):
+        rows = sorted(by_doc[i], key=lambda row: row["chunk_id"])
+        rebuilt = []
+        for row in rows:
+            ctoks = row["chunk_text"].split(" ")
+            rebuilt.extend(ctoks if row["chunk_id"] == 0 else ctoks[overlap:])
+        assert rebuilt == toks, (i, rebuilt, toks)
+
+    rr = {row["doc_id"]: row["clean_text"] for row in textprep.dedup_consecutive_tokens(df).collect()}
+    df2 = spark.createDataFrame([(k, v) for k, v in rr.items()], "doc_id long, text string")
+    rr2 = {row["doc_id"]: row["clean_text"] for row in textprep.dedup_consecutive_tokens(df2).collect()}
+    for i, toks in enumerate(docs):
+        ref = [t for j, t in enumerate(toks) if j == 0 or t != toks[j - 1]]
+        assert rr[i] == " ".join(ref)
+        assert rr2[i] == rr[i]  # idempotent
