@@ -1297,6 +1297,28 @@ FROM documents
 """
 
 
+def q54_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (MOSS): min md5 of each 4-window of word
+    3-grams, distinct per doc — the rolling-window fingerprinting
+    member of the dedup family, value-exact vs DuckDB replaying the
+    identical window-min (lexicographic order on hex)."""
+    from webdq import dedup
+
+    return dedup.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, window=4)
+
+
+SQL_54 = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents),
+     g AS (SELECT doc_id, unnest(generate_series(1, len(w) - 2)) AS i, w FROM t WHERE len(w) >= 3),
+     h AS (SELECT doc_id, i - 1 AS pos, md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS h FROM g),
+     win AS (SELECT doc_id,
+                    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                    count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cw
+             FROM h)
+SELECT DISTINCT doc_id, fp AS fingerprint FROM win WHERE cw = 4
+"""
+
+
 def q49_partitioned_layout(spark, sf_dir):
     """Partitioned-layout roundtrip (the S4-family layout operator at
     scale): documents → hive-partitioned parquet by (source, lang) →
@@ -1486,6 +1508,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_repetition_removal": q51_repetition_removal,
     "q52_token_counts": q52_token_counts,
     "q53_png_decode": q53_png_decode,
+    "q54_winnowing": q54_winnowing,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1540,6 +1563,7 @@ _ORACLES: dict[str, str] = {
     "q51_repetition_removal": SQL_51,
     "q52_token_counts": _sql_52(),
     "q53_png_decode": SQL_53,
+    "q54_winnowing": SQL_54,
 }
 
 

@@ -127,3 +127,36 @@ def test_simhash64_portable_matches_xxhash_structure(spark):
     assert rows[0] != rows[2]
     for hi, lo in rows.values():
         assert 0 <= hi < 1 << 32 and 0 <= lo < 1 << 32
+
+
+def test_winnowing_matches_python_and_guarantee(spark):
+    """Winnowing vs a python reference, plus the MOSS guarantee: two
+    docs sharing a substring of >= k + window - 1 tokens share at
+    least one fingerprint."""
+    import hashlib
+
+    from webdq.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens >= 3+4-1=6
+    rows = [
+        (0, "one two " + shared + " tail words here"),
+        (1, shared + " completely different ending tokens now"),
+        (2, "unrelated text with no overlap at all whatsoever"),
+        (3, "tiny doc"),  # < k tokens -> no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict = {}
+    for r in winnow_fingerprints(df, k=3, window=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+
+    def ref(text, k=3, w=4):
+        toks = text.split()
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+    for did, text in rows:
+        assert got.get(did, set()) == ref(text), did
+    assert got[0] & got[1], "shared 7-token run must yield a common fingerprint"
+    assert not (got[0] & got[2])
+    assert 3 not in got  # too short for any complete window

@@ -261,6 +261,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD '03 — the MOSS algorithm): hash every word ``k``-gram, then
+    keep the MINIMUM hash of each sliding window of ``window``
+    consecutive k-grams; the distinct kept hashes are the document's
+    fingerprint set. Guarantees: any shared substring of length ≥
+    k + window − 1 tokens contributes at least one COMMON fingerprint
+    to both documents, while only ~1/window of all k-grams are kept.
+
+    Spark shape: posexplode k-grams → md5 (engine-portable; winnowing
+    needs only a total order, so the lexicographic order on hex
+    strings serves) → one RANGE-free ROWS window min per doc →
+    distinct. One shuffle keyed by doc id. Output: (doc_id,
+    fingerprint) — one row per distinct kept hash."""
+    toks = _tokens(text_col, distinct=False)
+    cnt = F.size(toks)
+    n_sh = cnt - (k - 1)
+    z = F.arrays_zip(*[F.slice(toks, i + 1, n_sh).alias(f"w{i}") for i in range(k)])
+    grams = F.when(cnt < k, F.array().cast("array<string>")).otherwise(
+        F.transform(z, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(k)]))
+    )
+    ex = df.select(F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "_g"))
+    ex = ex.withColumn("_h", F.md5("_g"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    # a window starting at pos is complete iff pos ≤ n_grams − window;
+    # count-over-frame == window tests exactly that without a second
+    # size lookup
+    return (
+        ex.withColumn("_fp", F.min("_h").over(win))
+        .withColumn("_full", F.count(F.lit(1)).over(win))
+        .filter(F.col("_full") == window)
+        .select("doc_id", F.col("_fp").alias("fingerprint"))
+        .dropDuplicates()
+    )
+
+
 def cosine_col(a, b):
     """cos(a, b) for two array<float|double> columns, computed in
     double as whole-stage expressions (zip_with + aggregate)."""
