@@ -159,9 +159,9 @@ def _decode_one(payload: bytes, fake: bool) -> tuple[int, int, int, float, np.nd
 def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """payload → (width, height, channels, mean_byte, 16-bin byte
     histogram) via ``mapInPandas`` (iterator of Arrow batches; constant
-    memory). PPM (P6) is decoded for real (pure numpy); JPEG/PNG raise
-    at the codec seam; ``fake=True`` additionally parses the synthetic
-    WDQ0 container."""
+    memory). PPM (P6), baseline JPEG and PNG all decode for real
+    (pure numpy/python); ``fake=True`` additionally parses the
+    synthetic WDQ0 container."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
