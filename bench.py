@@ -155,9 +155,14 @@ def scaling_run(n_docs: int, n_low: int | None = None, rounds: int | None = None
             "docs_per_sec": n_docs / best,
         }
     res["scaling_efficiency"] = res["4n"]["docs_per_sec"] / (4.0 * res["n"]["docs_per_sec"])
-    res["scaling_efficiency_median"] = (n_docs / res["4n"]["wall_s_median"]) / (
-        4.0 * (n_docs / res["n"]["wall_s_median"])
-    )
+    # median of PER-ROUND ratios: the two trials of one round are
+    # adjacent in time, so a co-tenant burst hits both and cancels in
+    # the ratio — unlike pairing each level's independent median/best,
+    # which can combine walls from different load regimes and inflate
+    # (or deflate) the estimate.
+    eff_rounds = [trials["n"][i] / (4.0 * trials["4n"][i]) for i in range(rounds)]
+    res["efficiency_rounds"] = [round(e, 3) for e in eff_rounds]
+    res["scaling_efficiency_median"] = _med(eff_rounds)
     res["rounds"] = rounds
     res["n_docs"] = n_docs
     res["window"] = f"{n_low}to{n_low * 4}"
@@ -183,6 +188,7 @@ def _record_window(res: dict) -> dict:
         "masters": [res["n"]["master"], res["4n"]["master"]],
         "walls_n": res["n"]["walls"],
         "walls_4n": res["4n"]["walls"],
+        "efficiency_rounds": res["efficiency_rounds"],
         "efficiency_best": round(res["scaling_efficiency"], 3),
         "efficiency_median": round(res["scaling_efficiency_median"], 3),
         "measured": datetime.date.today().isoformat(),
@@ -316,9 +322,12 @@ def _write_bench_md(result: dict, s: dict, n_docs: int, rec: dict) -> None:
         "  cores literal.",
         "- A FIXED number of interleaved rounds (N, 4N, N, 4N, ...) runs",
         "  regardless of interim ratios — no optional stopping (ADVICE r2).",
-        "  All trial walls are listed; best-of is the headline (symmetric:",
-        "  a co-tenant burst cannot poison one level in every attempt",
-        "  without hitting the other), median-of-rounds shown alongside.",
+        "  All trial walls are listed. Two estimators: best-per-level",
+        "  pairing, and the MEDIAN OF PER-ROUND RATIOS — a round's two",
+        "  trials are adjacent in time so a co-tenant burst hits both and",
+        "  cancels in the ratio (pairing each level's independent best can",
+        "  combine walls from different load regimes and distort either",
+        "  way — observed once as a spurious 0.875).",
         "- Both levels run IDENTICAL task sets: input partitions sized by",
         "  data only, shuffle partitions = 4 tasks/core at each level (the",
         "  old floor gave local[1] 8 waves vs local[4]'s 4 — ADVICE r2).",
