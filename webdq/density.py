@@ -30,8 +30,9 @@ shapes. DBSCAN itself: Ester/Kriegel/Sander/Xu, KDD '96 (public).
 from __future__ import annotations
 
 import itertools
+import warnings
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -42,6 +43,7 @@ def dbscan(
     min_pts: int,
     key_col: str,
     max_iter: int = 50,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """DBSCAN over the numeric columns ``cols`` (1 ≤ d ≤ 3).
 
@@ -49,7 +51,16 @@ def dbscan(
     ``cluster`` is the minimum core-point key of the component (NULL
     for noise). ``key_col`` must be integral — the key doubles as the
     propagation label. ``min_pts`` counts the point itself (sklearn
-    convention)."""
+    convention).
+
+    ``max_cell`` is the hub-cell guard (the LSH ``max_bucket`` analog):
+    a single degenerate grid cell with m points contributes O(m²)
+    candidate pairs, so the BUILD side keeps only the ``max_cell``
+    points with smallest xxhash64(key) per cell. Below the cap the
+    result is bit-identical to the uncapped run (parity-tested); above
+    it, neighbor counts are undercounted (core detection turns
+    conservative) — the standard bounded-fanout trade. Default None =
+    exact."""
     d = len(cols)
     if not 1 <= d <= 3:
         raise ValueError(f"dbscan supports 1-3 dims (grid fanout 3^d); got {d}")
@@ -80,6 +91,17 @@ def dbscan(
         *[F.col(f"_x{i}").alias(f"_y{i}") for i in range(d)],
         *[F.col(f"_c{i}").alias(f"_pc{i}") for i in range(d)],
     )
+    if max_cell is not None:
+        # deterministic per-cell TopK by hash — cheap (one window over
+        # the cell partitioning) and independent of input order
+        wcell = Window.partitionBy(*[f"_pc{i}" for i in range(d)]).orderBy(
+            F.xxhash64("_jd"), F.col("_jd")
+        )
+        build = (
+            build.withColumn("_rk", F.row_number().over(wcell))
+            .filter(F.col("_rk") <= max_cell)
+            .drop("_rk")
+        )
     dist2 = F.lit(0.0)
     for i in range(d):
         diff = F.col(f"_x{i}") - F.col(f"_y{i}")
@@ -87,10 +109,14 @@ def dbscan(
     # ordered pairs INCLUDING self (self-distance 0 ⇒ min_pts counts
     # the point itself); each pair appears exactly once because the
     # build side's cell is unique and the probe visits it once
+    # the grid join is the most expensive stage and is consumed three
+    # times (core flags, core edges, border assignment) — persist it,
+    # and `core` too (ADVICE r3)
     neigh = (
         probe.join(build, on=[f"_pc{i}" for i in range(d)])
         .filter(dist2 <= F.lit(eps2))
         .select(F.col("_id").alias("src"), F.col("_jd").alias("dst"))
+        .persist()
     )
 
     core = (
@@ -98,13 +124,23 @@ def dbscan(
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= min_pts)
         .select(F.col("src").alias("_id"))
+        .persist()
     )
     core_edges = (
         neigh.join(core.select(F.col("_id").alias("src")), "src")
         .join(core.select(F.col("_id").alias("dst")), "dst")
         .select("src", "dst")
-        .persist()
     )
+    if max_cell is not None:
+        # the capped build side makes the pair set ASYMMETRIC (a
+        # non-retained core appears as src but never as dst, so labels
+        # could not flow back to it) — symmetrize explicitly; the
+        # uncapped join is symmetric by construction. Duplicate edges
+        # are harmless: propagation is a min-aggregate.
+        core_edges = core_edges.unionByName(
+            core_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    core_edges = core_edges.persist()
 
     # min-label propagation + path halving over the core graph.
     # Each round ends in an EAGER localCheckpoint: without lineage
@@ -115,6 +151,7 @@ def dbscan(
     # checkpoint dir (sc.setCheckpointDir + .checkpoint()) instead.
     lab = core.select("_id", F.col("_id").alias("lab")).localCheckpoint(eager=True)
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         cand = (
             core_edges.join(
@@ -146,8 +183,19 @@ def dbscan(
         s = halved.agg(F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
         lab = halved
         if s is None or s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # silent partial merges would look like extra clusters (ADVICE
+        # r3); with path halving, rounds ≈ log2(component diameter), so
+        # hitting 50 means something is badly wrong
+        warnings.warn(
+            f"dbscan label propagation did not converge in {max_iter} rounds; "
+            "component labels may be partially merged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     border = (
         neigh.join(core.select(F.col("_id").alias("dst")), "dst")
@@ -169,5 +217,12 @@ def dbscan(
             F.coalesce("is_core", F.lit(False)).alias("is_core"),
         )
     )
+    # materialize before releasing the caches: `border` (inside `out`)
+    # still reads `neigh`, and dbscan is already eager (the loop
+    # collects a scalar per round) — one more bounded job, then every
+    # intermediate cache can go
+    out = out.localCheckpoint(eager=True)
     core_edges.unpersist()
+    neigh.unpersist()
+    core.unpersist()
     return out

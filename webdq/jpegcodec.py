@@ -277,7 +277,9 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interv
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        g = np.clip(full[0], 0, 255)
+        # round like the color path: truncation would bias IDCT float
+        # error (e.g. 99.9999) low by one code value (ADVICE r3)
+        g = np.clip(full[0], 0, 255).round()
         return np.dstack([g, g, g]).astype(np.uint8)
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     r = y + 1.402 * cr
