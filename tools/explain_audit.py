@@ -61,6 +61,12 @@ CHECKS = {
     # at high cardinality the plan becomes hash-partitioned bucket
     # windows — both are shuffle-safe, so the check is the negative.
     "q05_ecdf": ["BroadcastExchange", "!Exchange SinglePartition"],
+    # interval join: the range predicate must run as a bucketed
+    # EQUI-join + refine filter, never a nested-loop theta join
+    "q55_interval_join": ["!Cartesian", "!NestedLoop", "partial_"],
+    # sessionize: one per-key window — hash-partitioned by user, never
+    # a global single-partition sort
+    "q58_sessionize": ["!Exchange SinglePartition"],
 }
 
 
