@@ -1361,6 +1361,78 @@ GROUP BY w.window_id
 """
 
 
+def q56_gopher_repetition(spark, sf_dir):
+    """Gopher §A.1.1 repetition metrics (duplicate-line fraction,
+    duplicate-line char fraction, top 2/3/4-gram char coverage) over a
+    deterministic multi-line view of documents (2-token lines joined
+    by newline — the fixture text is single-line; 181/500 sf0.01 docs
+    then carry duplicate lines). Zero-shuffle array
+    algebra (sorted-run F.aggregate); DuckDB replays the identical
+    grouping + argmax with list comprehensions."""
+    from webdq import textprep
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
+    )
+    nlines = F.ceil(F.size("_toks") / F.lit(2.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i * 2 + 1, 2)),
+    )
+    multi = d.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    out = textprep.gopher_repetition(multi, ngram_ns=(2, 3, 4))
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+        F.round("top_3gram_char_frac", 6).alias("top_3gram_char_frac"),
+        F.round("top_4gram_char_frac", 6).alias("top_4gram_char_frac"),
+    )
+
+
+SQL_56 = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents),
+ l AS (SELECT doc_id,
+              [array_to_string(w[i * 2 + 1 : least((i + 1) * 2, len(w))], ' ')
+               for i in range(CAST(ceil(len(w) / 2.0) AS BIGINT))] AS lines
+       FROM t),
+ dl AS (SELECT doc_id, line, count(*) AS c, length(line) AS ln
+        FROM (SELECT doc_id, unnest(lines) AS line FROM l) GROUP BY doc_id, line),
+ dstat AS (SELECT doc_id, sum(c) AS n, sum(c * ln) AS ch,
+                  sum(c - 1) AS dn, sum((c - 1) * ln) AS dch
+           FROM dl GROUP BY doc_id),
+ g2 AS (SELECT doc_id, array_to_string(w[i : i + 1], ' ') AS g
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2)),
+ g3 AS (SELECT doc_id, array_to_string(w[i : i + 2], ' ') AS g
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM t WHERE len(w) >= 3)),
+ g4 AS (SELECT doc_id, array_to_string(w[i : i + 3], ' ') AS g
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i FROM t WHERE len(w) >= 4)),
+ b2 AS (SELECT doc_id, cov FROM (
+          SELECT doc_id, c * length(g) AS cov,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, c * length(g) DESC, g) AS rn
+          FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)) WHERE rn = 1),
+ b3 AS (SELECT doc_id, cov FROM (
+          SELECT doc_id, c * length(g) AS cov,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, c * length(g) DESC, g) AS rn
+          FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g)) WHERE rn = 1),
+ b4 AS (SELECT doc_id, cov FROM (
+          SELECT doc_id, c * length(g) AS cov,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, c * length(g) DESC, g) AS rn
+          FROM (SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY doc_id, g)) WHERE rn = 1)
+SELECT d.doc_id,
+       round(CASE WHEN d.n > 0 THEN d.dn / CAST(d.n AS DOUBLE) ELSE 0 END, 6) AS dup_line_frac,
+       round(CASE WHEN d.ch > 0 THEN d.dch / CAST(d.ch AS DOUBLE) ELSE 0 END, 6) AS dup_line_char_frac,
+       round(coalesce(b2.cov, 0) / CAST(d.ch + d.n - 1 AS DOUBLE), 6) AS top_2gram_char_frac,
+       round(coalesce(b3.cov, 0) / CAST(d.ch + d.n - 1 AS DOUBLE), 6) AS top_3gram_char_frac,
+       round(coalesce(b4.cov, 0) / CAST(d.ch + d.n - 1 AS DOUBLE), 6) AS top_4gram_char_frac
+FROM dstat d
+LEFT JOIN b2 ON b2.doc_id = d.doc_id
+LEFT JOIN b3 ON b3.doc_id = d.doc_id
+LEFT JOIN b4 ON b4.doc_id = d.doc_id
+"""
+
+
 def q58_sessionize(spark, sf_dir):
     """Gap-based sessionization (clickstream/UBA staple): per-user
     session index, new session when the gap to the previous event
@@ -1593,6 +1665,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_png_decode": q53_png_decode,
     "q54_winnowing": q54_winnowing,
     "q55_interval_join": q55_interval_join,
+    "q56_gopher_repetition": q56_gopher_repetition,
     "q58_sessionize": q58_sessionize,
     # ---- past the 50-entry driver window (family-subsumed or
     # ---- rows-only with pytest gates; still oracled/checked by
@@ -1661,6 +1734,7 @@ _ORACLES: dict[str, str] = {
     "q53_png_decode": SQL_53,
     "q54_winnowing": SQL_54,
     "q55_interval_join": SQL_55,
+    "q56_gopher_repetition": SQL_56,
     "q58_sessionize": SQL_58,
 }
 

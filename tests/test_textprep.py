@@ -80,3 +80,87 @@ def test_token_counts_match_python_re(spark):
         # Spark's split on \s+ of a trimmed string == python .split()
         bpe = len(pat.findall(text))
         assert got[did] == (ws, bpe), (did, got[did], (ws, bpe))
+
+
+def _mdocs(spark):
+    rows = [
+        (0, "alpha beta\ngamma\nalpha beta\ngamma\ndelta"),
+        (1, "one line only"),
+        (2, "same\nsame\nsame\nother"),
+        (3, "the cat sat\nthe cat sat"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gopher_dup_line_metrics_match_python(spark):
+    got = {
+        r["doc_id"]: (r["dup_line_frac"], r["dup_line_char_frac"])
+        for r in textprep.gopher_repetition(_mdocs(spark)).collect()
+    }
+    for r in _mdocs(spark).collect():
+        lines = r["text"].split("\n")
+        seen: dict[str, int] = {}
+        dn = dch = 0
+        for ln in lines:
+            if ln in seen:
+                dn += 1
+                dch += len(ln)
+            seen[ln] = 1
+        ch = sum(len(ln) for ln in lines)
+        want = (dn / len(lines), dch / ch if ch else 0.0)
+        g = got[r["doc_id"]]
+        assert abs(g[0] - want[0]) < 1e-12 and abs(g[1] - want[1]) < 1e-12, r["doc_id"]
+    assert got[1] == (0.0, 0.0)  # single line: no dups
+    assert got[2][0] == 0.5  # 2 of 4 lines are repeats
+
+
+def test_gopher_top_ngram_char_frac_match_python(spark):
+    from collections import Counter
+
+    out = {
+        r["doc_id"]: (r["top_2gram_char_frac"], r["top_3gram_char_frac"])
+        for r in textprep.gopher_repetition(_mdocs(spark), ngram_ns=(2, 3)).collect()
+    }
+    for r in _mdocs(spark).collect():
+        toks = r["text"].split()
+        tot = len(r["text"])
+        for n, idx in ((2, 0), (3, 1)):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if not grams:
+                want = 0.0
+            else:
+                c = Counter(grams)
+                best = max(c.items(), key=lambda kv: (kv[1], kv[1] * len(kv[0])))
+                # max count, ties by larger char coverage
+                mx = best[1]
+                cov = max(v * len(g) for g, v in c.items() if v == mx)
+                want = cov / tot
+            assert abs(out[r["doc_id"]][idx] - want) < 1e-12, (r["doc_id"], n)
+    # short doc: fewer than 3 tokens would give 0; doc 1 has exactly 3
+    assert out[1][1] > 0
+
+
+def test_gopher_fracs_bounded(spark):
+    out = textprep.gopher_repetition(_mdocs(spark)).collect()
+    for r in out:
+        for c in ("dup_line_frac", "dup_line_char_frac", "top_2gram_char_frac",
+                  "top_3gram_char_frac", "top_4gram_char_frac"):
+            assert 0.0 <= r[c] <= 1.0, (r["doc_id"], c, r[c])
+
+
+def test_dedup_consecutive_lines_matches_python_and_idempotent(spark):
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in textprep.dedup_consecutive_lines(_mdocs(spark)).collect()
+    }
+    for r in _mdocs(spark).collect():
+        lines = r["text"].split("\n")
+        kept = [ln for i, ln in enumerate(lines) if i == 0 or ln != lines[i - 1]]
+        assert got[r["doc_id"]] == ("\n".join(kept), len(lines) - len(kept)), r["doc_id"]
+    assert got[2] == ("same\nother", 2)
+    # idempotence: a second pass removes nothing
+    once = spark.createDataFrame(
+        [(k, v[0]) for k, v in got.items()], "doc_id long, text string"
+    )
+    again = textprep.dedup_consecutive_lines(once).collect()
+    assert all(r["n_removed"] == 0 for r in again)

@@ -67,6 +67,9 @@ CHECKS = {
     # sessionize: one per-key window — hash-partitioned by user, never
     # a global single-partition sort
     "q58_sessionize": ["!Exchange SinglePartition"],
+    # Gopher repetition metrics: sorted-run array algebra per row — a
+    # single stage with no shuffle at all
+    "q56_gopher_repetition": ["!Exchange"],
 }
 
 

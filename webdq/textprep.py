@@ -87,14 +87,139 @@ def dedup_consecutive_tokens(
 ) -> DataFrame:
     """Collapse runs of identical consecutive tokens. Output:
     (doc_id, clean_text, n_removed)."""
-    toks = _toks(text_col)
-    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
-    cnt = F.size("_toks")
-    prev = F.concat(F.array(F.lit(None).cast("string")), F.slice(F.col("_toks"), 1, cnt - 1))
-    z = F.arrays_zip(F.col("_toks").alias("t"), prev.alias("p"))
+    return _dedup_consecutive(df, id_col, _toks(text_col), " ")
+
+
+def dedup_consecutive_lines(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", line_delim: str = "\n"
+) -> DataFrame:
+    """Collapse runs of identical consecutive LINES (the Gopher §A.1.1
+    repeated-paragraph member at line granularity). Output:
+    (doc_id, clean_text, n_removed)."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), _re_escape(line_delim))
+    return _dedup_consecutive(df, id_col, lines, line_delim)
+
+
+def _re_escape(delim: str) -> str:
+    import re
+
+    return re.escape(delim)
+
+
+def _dedup_consecutive(df: DataFrame, id_col: str, units, join_delim: str) -> DataFrame:
+    """Shared run-collapse over an array column: keep element i when it
+    differs from element i-1. arrays_zip-first so the filter/transform
+    lambdas touch only their zipped element (the interpreted-HOF
+    captured-expression trap, CLAUDE.md)."""
+    base = df.select(F.col(id_col).alias("doc_id"), units.alias("_u"))
+    cnt = F.size("_u")
+    prev = F.concat(F.array(F.lit(None).cast("string")), F.slice(F.col("_u"), 1, cnt - 1))
+    z = F.arrays_zip(F.col("_u").alias("t"), prev.alias("p"))
     kept = F.filter(z, lambda s: s["p"].isNull() | (s["t"] != s["p"]))
     return base.select(
         "doc_id",
-        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("clean_text"),
+        F.concat_ws(join_delim, F.transform(kept, lambda s: s["t"])).alias("clean_text"),
         (cnt - F.size(kept)).alias("n_removed"),
     )
+
+
+def _run_best(sorted_col):
+    """Over a SORTED string array: the (count, count·len) of the best
+    repeated run — max count, ties broken by larger character
+    coverage. One F.aggregate whose lambda touches only (acc, x):
+    interpreted but O(n) with no captured outer expressions."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("bc"),
+        F.lit(0).cast("long").alias("bch"),
+    )
+
+    def step(acc, x):
+        run = F.when(acc["prev"].isNotNull() & (acc["prev"] == x), acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        chars = run * F.length(x)
+        better = (run > acc["bc"]) | ((run == acc["bc"]) & (chars > acc["bch"]))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["bc"]).alias("bc"),
+            F.when(better, chars).otherwise(acc["bch"]).alias("bch"),
+        )
+
+    return F.aggregate(sorted_col, init, step)
+
+
+def _dup_stats(sorted_col):
+    """Over a SORTED string array: (total, total_chars, dup, dup_chars)
+    where dup counts occurrences beyond the first of each distinct
+    value — the Gopher duplicate-line accounting."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("ch"),
+        F.lit(0).cast("long").alias("dn"),
+        F.lit(0).cast("long").alias("dch"),
+    )
+
+    def step(acc, x):
+        is_dup = acc["prev"].isNotNull() & (acc["prev"] == x)
+        return F.struct(
+            x.alias("prev"),
+            (acc["n"] + 1).alias("n"),
+            (acc["ch"] + F.length(x)).alias("ch"),
+            F.when(is_dup, acc["dn"] + 1).otherwise(acc["dn"]).alias("dn"),
+            F.when(is_dup, acc["dch"] + F.length(x)).otherwise(acc["dch"]).alias("dch"),
+        )
+
+    return F.aggregate(sorted_col, init, step)
+
+
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_delim: str = "\n",
+    ngram_ns: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """The Gopher §A.1.1 repetition metric family (Rae et al. 2021,
+    public), per document and fully native (array algebra, zero
+    shuffle):
+
+    - ``dup_line_frac``: fraction of lines that are duplicates of an
+      earlier line (occurrences beyond the first of each distinct
+      line).
+    - ``dup_line_char_frac``: fraction of line characters inside those
+      duplicate occurrences.
+    - ``top_{n}gram_char_frac`` for each n in ``ngram_ns``: characters
+      covered by the most frequent word n-gram (count × len, ties →
+      larger coverage) over the total text length; 0 when the doc has
+      fewer than n tokens.
+
+    All run accounting happens on SORTED arrays with F.aggregate
+    lambdas that touch only (acc, element) — no captured outer
+    expressions (the interpreted-HOF trap), no explode, no shuffle."""
+    from .dedup import _shingles
+
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), _re_escape(line_delim))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.array_sort(lines).alias("_slines"),
+    )
+    ds = _dup_stats(F.col("_slines"))
+    out = base.select(
+        "doc_id",
+        "_text",
+        F.when(ds["n"] > 0, ds["dn"] / ds["n"]).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(ds["ch"] > 0, ds["dch"] / ds["ch"]).otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+    )
+    tot = F.length(F.coalesce(F.col("_text"), F.lit("")))
+    for n in ngram_ns:
+        best = _run_best(F.array_sort(_shingles("_text", n, distinct=False)))
+        out = out.withColumn(
+            f"top_{n}gram_char_frac",
+            F.when(tot > 0, best["bch"] / tot).otherwise(F.lit(0.0)),
+        )
+    return out.drop("_text")
