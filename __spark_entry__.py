@@ -1433,6 +1433,57 @@ LEFT JOIN b4 ON b4.doc_id = d.doc_id
 """
 
 
+def q57_embedding_neardup_lsh(spark, sf_dir):
+    """SELF-CONTAINED embedding near-dup (no caller block column): the
+    production sign-LSH blocking (similarity.embedding_neardup_pairs_lsh,
+    6 bits × 8 tables) verified against an honest DuckDB ALL-PAIRS
+    inequality join. The driver's embeddings are isotropic (max pair
+    cosine ≈ 0.51 — measured, CLAUDE.md), so near-duplicates are
+    PLANTED deterministically from the table itself: every 5th vector
+    is copied with coordinate (vec_id % 64) sign-flipped (cosine
+    1 − 2·v_j²/|v|² ≈ 0.97). At threshold 0.9 the oracle's qualifying
+    pairs are exactly those planted copies, and the LSH block must
+    RECALL every one. 4 bits × 8 tables leaves ~4e-5 miss probability
+    per pair (6 × 8 measurably dropped 2/95 at sf0.01); the fixed seed
+    makes the outcome deterministic — verified at sf0.001/0.01/0.1."""
+    from webdq import similarity
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # _j must be materialized BEFORE the aliasing select: a bare
+    # F.col("vec_id") captured inside the transform lambda resolves
+    # against the OUTPUT schema where vec_id is already +100000
+    # (measured: flipped index (id+100000)%64, not id%64)
+    pert = (
+        e.filter(F.col("vec_id") % 5 == 0)
+        .withColumn("_j", (F.col("vec_id") % 64).cast("int"))
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x, i: F.when(i == F.col("_j"), -x).otherwise(x)
+            ).alias("embedding"),
+        )
+    )
+    allv = e.unionByName(pert)
+    return similarity.embedding_neardup_pairs_lsh(
+        allv, dim=64, threshold=0.9, n_bits=4, n_tables=8
+    )
+
+
+SQL_57 = """
+WITH pert AS (
+  SELECT vec_id + 100000 AS vec_id,
+         [CASE WHEN i = j + 1 THEN -embedding[i] ELSE embedding[i] END
+          for i in range(1, len(embedding) + 1)] AS embedding
+  FROM (SELECT vec_id, vec_id % 64 AS j, embedding FROM embeddings WHERE vec_id % 5 = 0)),
+ allv AS (SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id, embedding FROM pert)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.9
+"""
+
+
 def q58_sessionize(spark, sf_dir):
     """Gap-based sessionization (clickstream/UBA staple): per-user
     session index, new session when the gap to the previous event
@@ -1670,6 +1721,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- past the 50-entry driver window (family-subsumed or
     # ---- rows-only with pytest gates; still oracled/checked by
     # ---- tools/check_oracle.py and the judge's run) ----
+    "q57_embedding_neardup_lsh": q57_embedding_neardup_lsh,
     "q45_pipeline_summary": q45_pipeline_summary,
     "q17_datemath": q17_datemath,
     "q24_text_stats": q24_text_stats,
@@ -1735,6 +1787,7 @@ _ORACLES: dict[str, str] = {
     "q54_winnowing": SQL_54,
     "q55_interval_join": SQL_55,
     "q56_gopher_repetition": SQL_56,
+    "q57_embedding_neardup_lsh": SQL_57,
     "q58_sessionize": SQL_58,
 }
 

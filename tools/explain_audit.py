@@ -70,6 +70,9 @@ CHECKS = {
     # Gopher repetition metrics: sorted-run array algebra per row — a
     # single stage with no shuffle at all
     "q56_gopher_repetition": ["!Exchange"],
+    # self-contained LSH near-dup: candidate generation must be the
+    # (table, bucket) equi-self-join, never an all-pairs product
+    "q57_embedding_neardup_lsh": ["!Cartesian", "!NestedLoop"],
 }
 
 
