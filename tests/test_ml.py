@@ -137,3 +137,60 @@ def test_init_sample_prefilter_parity(spark):
     # n_rows wildly too large -> cutoff below every hash -> fallback
     tiny_frac = ml.init_sample_matrix(df, ["x", "y"], "url", 64, n_rows=10**12)
     np.testing.assert_array_equal(base, tiny_frac)
+
+
+def test_fused_init_sample_bitwise_parity(spark):
+    """fit_scaled_pca_with_init's fused sample (collected during the
+    PCA scan, projected to PC space on the driver) must be BITWISE
+    identical to init_sample_matrix over the Spark-projected frame —
+    the r4 job-fusion invariant protecting the F1 gates."""
+    df = spark.range(0, 6000, 1, 8).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 97).cast("double").alias("a"),
+        (F.col("id") % 31).cast("double").alias("b"),
+        ((F.col("id") * 7) % 53).cast("double").alias("c"),
+        F.lit(5.0).alias("const"),  # constant column: lit(0.0) path
+    )
+    cols = ["a", "b", "c", "const"]
+    stats, pca, X_fused = ml.fit_scaled_pca_with_init(
+        df, cols, n_components=2, key_col="url", init_sample=128, approx_rows=6000
+    )
+    assert X_fused is not None and X_fused.shape == (128, 2)
+    proj = ml.pca_project(ml.minmax_scale(df, cols, stats), pca)
+    X_sep = ml.init_sample_matrix(proj, ["pc_0", "pc_1"], "url", 128)
+    np.testing.assert_array_equal(X_fused, X_sep)
+
+    # no hint (or a hint too small to justify fusion) -> no sample
+    _, _, none1 = ml.fit_scaled_pca_with_init(df, cols, n_components=2)
+    _, _, none2 = ml.fit_scaled_pca_with_init(
+        df, cols, n_components=2, key_col="url", init_sample=4096, approx_rows=6000
+    )
+    assert none1 is None and none2 is None
+
+    # absurdly large hint -> cutoff below every hash -> shortfall None
+    _, _, short = ml.fit_scaled_pca_with_init(
+        df, cols, n_components=2, key_col="url", init_sample=128, approx_rows=10**12
+    )
+    assert short is None
+
+
+def test_pipeline_fused_sample_same_kmeans(spark):
+    """End-to-end: cluster_documents with and without the approx_rows
+    hint must produce identical centers and identical assignments."""
+    from webdq import pipeline as P
+
+    from webdq.synth import generate_pages
+
+    pages = generate_pages(spark, 1500).drop("_tier")
+    cfg = P.PipelineConfig(k=4, pca_components=3, kmeans_init_sample=128, kmeans_max_iter=5)
+    feats = P.extract_features(pages, cfg).persist()
+    nstats: dict = {}
+    norm = P.normalize_features(feats, cfg, nstats).persist()
+    assert nstats["n_rows"] == 1500
+    out_hint, _, _, _, km_hint = P.cluster_documents(norm, cfg, approx_rows=nstats["n_rows"])
+    out_base, _, _, _, km_base = P.cluster_documents(norm, cfg, approx_rows=None)
+    np.testing.assert_array_equal(km_hint.centers, km_base.centers)
+    a = {r["url"]: r["cluster"] for r in out_hint.select("url", "cluster").collect()}
+    b = {r["url"]: r["cluster"] for r in out_base.select("url", "cluster").collect()}
+    assert a == b
+    feats.unpersist(); norm.unpersist()

@@ -55,6 +55,7 @@ def ecdf(
     rel_err: float = 0.01,
     low_card_threshold: int = 65536,
     probe_buckets: int = 256,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Exact, parallel ECDF for every column in ``cols``. Output column
     name: ``prefix + col`` (n_ stripped, matching the reference's
@@ -99,6 +100,11 @@ def ecdf(
         *[F.percentile_approx(F.col(c), qs, int(1 / rel_err)).alias(f"pct_{c}") for c in cols],
     ).collect()[0]
     n_rows = int(probe["_n"])
+    if stats_out is not None:
+        # exact input count, free metadata from the probe — lets the
+        # downstream PCA/KMeans fit fuse its init sample into its own
+        # scan (``stats_out`` because the return type stays DataFrame)
+        stats_out["n_rows"] = n_rows
     if n_rows == 0:
         out = df
         for c in cols:

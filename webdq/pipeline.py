@@ -155,28 +155,46 @@ def extract_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return df.drop("html", "text")
 
 
-def normalize_features(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def normalize_features(df: DataFrame, cfg: PipelineConfig, stats_out: dict | None = None) -> DataFrame:
     # Numeric-only projection BEFORE the ECDF shuffles: the text and
     # scrubbed_text payloads must not travel through the melt / window
     # / pivot / join (they are ~50× the numeric width); scrubbed_text
     # is joined back once at label emission.
     numeric = [c for c in df.columns if c not in ("text", "scrubbed_text", "lang", "warc_ts", "html")]
-    df = normalize.ecdf(df.select(*numeric), ECDF_FEATURES, key_col="url", prefix="u_")
+    df = normalize.ecdf(
+        df.select(*numeric), ECDF_FEATURES, key_col="url", prefix="u_", stats_out=stats_out
+    )
     # reference naming: u_chars not u_n_chars (utils.py:540-541 strips n_)
     return df
 
 
-def cluster_documents(df: DataFrame, cfg: PipelineConfig, persisted: list | None = None):
+def cluster_documents(
+    df: DataFrame, cfg: PipelineConfig, persisted: list | None = None, approx_rows: int | None = None
+):
     """min-max → PCA (auto-k) → KMeans. Returns (clustered df, models).
     Registers its internal persist in ``persisted`` so the caller can
-    release it once the output is materialized."""
+    release it once the output is materialized. ``approx_rows`` (the
+    exact upstream count when known — the ECDF probe surfaces it)
+    fuses the KMeans init sample INTO the PCA fit scan: one driver
+    round-trip serves minmax + covariance + init sample, with a
+    bitwise-identical sample matrix (ml.fit_scaled_pca_with_init)."""
     missing = [c for c in CLUSTER_FEATURES if c not in df.columns]
     if missing:
         raise ValueError(f"cluster feature columns missing from input: {missing}")
     feats = list(CLUSTER_FEATURES)
     # one pass: min/max + covariance (scaled covariance derived on the
-    # driver) instead of separate minmax and covariance scans
-    stats, pca = ml.fit_scaled_pca(df, feats, n_components=cfg.pca_components, kmin=cfg.pca_kmin, kmax=cfg.pca_kmax)
+    # driver) instead of separate minmax and covariance scans — plus
+    # the fused init sample when the row-count hint is available
+    stats, pca, sample_X = ml.fit_scaled_pca_with_init(
+        df,
+        feats,
+        n_components=cfg.pca_components,
+        kmin=cfg.pca_kmin,
+        kmax=cfg.pca_kmax,
+        key_col="url",
+        init_sample=cfg.kmeans_init_sample,
+        approx_rows=approx_rows,
+    )
     scaled = ml.minmax_scale(df, feats, stats)
     pc_cols = [f"pc_{j}" for j in range(pca.loadings.shape[1])]
     # Lloyd iterations + centroid ranking rescan this frame k×; keep
@@ -185,18 +203,20 @@ def cluster_documents(df: DataFrame, cfg: PipelineConfig, persisted: list | None
     proj = ml.pca_project(scaled, pca).select("url", *feats, *pc_cols).persist()
     if persisted is not None:
         persisted.append(proj)
-    # pca.n_rows (free metadata from the fit scan) lets the kmeans init
-    # TopK pre-filter by hash range — orders of magnitude fewer
-    # candidate rows at scale, bitwise-identical sample (ml.py)
+    # fallback when the fused sample was unavailable: pca.n_rows (free
+    # metadata from the fit scan) still lets the kmeans init TopK
+    # pre-filter by hash range — bitwise-identical sample (ml.py)
     fit_kw = dict(
         max_iter=cfg.kmeans_max_iter, init_sample=cfg.kmeans_init_sample, seed=cfg.seed, n_rows=pca.n_rows
     )
     if cfg.k_auto:
         # reference AutoKMeans: sweep k, pick by elbow 2nd derivative
-        best_k, models = ml.auto_kmeans(proj, pc_cols, "url", cfg.kmeans_kmin, cfg.kmeans_kmax, **fit_kw)
+        best_k, models = ml.auto_kmeans(
+            proj, pc_cols, "url", cfg.kmeans_kmin, cfg.kmeans_kmax, sample_X=sample_X, **fit_kw
+        )
         km = models[best_k]
     else:
-        km = ml.kmeans_fit(proj, pc_cols, k=cfg.k, key_col="url", **fit_kw)
+        km = ml.kmeans_fit(proj, pc_cols, k=cfg.k, key_col="url", sample_X=sample_X, **fit_kw)
     out = ml.kmeans_assign(proj, pc_cols, km.centers, out="cluster")
     return out, feats, stats, pca, km
 
@@ -216,9 +236,15 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig | No
         return spark.read.parquet(runner._path("labels"))
 
     feats_df = runner.run("features", lambda: extract_features(pages, cfg))
-    norm_df = runner.run("normalized", lambda: normalize_features(feats_df, cfg))
+    # nstats carries the ECDF probe's exact row count out of the stage
+    # closure (empty on a checkpoint-resume read — the fused init
+    # sample then falls back to the separate TopK, same results)
+    nstats: dict = {}
+    norm_df = runner.run("normalized", lambda: normalize_features(feats_df, cfg, nstats))
 
-    clustered, feats, stats, pca, km = cluster_documents(norm_df, cfg, persisted=runner._persisted)
+    clustered, feats, stats, pca, km = cluster_documents(
+        norm_df, cfg, persisted=runner._persisted, approx_rows=nstats.get("n_rows")
+    )
     # Rank clusters by the mean scaled features of their members
     # (`clustered` feature columns are already min-max scaled). This is
     # a PURE PLAN (label_mod.keep_dim_plan): the k-row aggregate +
