@@ -14,6 +14,7 @@ deltas computed on integer microseconds.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -1484,6 +1485,32 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 """
 
 
+def q59_auto_k_elbow(spark, sf_dir):
+    """The reference's AutoKMeans elbow sweep (ml.auto_kmeans,
+    /root/reference/osmdq/analysis_tasks.py:809-873) as a contract
+    query: sweep k over the first 4 embedding coordinates, emit one
+    row per swept k with its within-cluster inertia and the elbow
+    choice. Deterministic (hash-ordered init sample, fixed seed);
+    inertia is an iterative-KMeans artifact — rows-only check, values
+    pinned by tests/test_ml.py's elbow-recovery gate."""
+    from webdq import ml
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", *[F.element_at("embedding", i + 1).cast("double").alias(f"e{i}") for i in range(4)]
+    ).persist()
+    cols = [f"e{i}" for i in range(4)]
+    best, models = ml.auto_kmeans(
+        e, cols, key_col="vec_id", nbmin_clusters=2, nbmax_clusters=6, init_sample=256
+    )
+    rows = [
+        (int(k), float(m.inertia), bool(k == best))
+        for k, m in sorted(models.items())
+        if not math.isnan(m.inertia)
+    ]
+    e.unpersist()
+    return spark.createDataFrame(rows, "k int, inertia double, chosen boolean")
+
+
 def q58_sessionize(spark, sf_dir):
     """Gap-based sessionization (clickstream/UBA staple): per-user
     session index, new session when the gap to the previous event
@@ -1722,6 +1749,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- rows-only with pytest gates; still oracled/checked by
     # ---- tools/check_oracle.py and the judge's run) ----
     "q57_embedding_neardup_lsh": q57_embedding_neardup_lsh,
+    "q59_auto_k_elbow": q59_auto_k_elbow,
     "q45_pipeline_summary": q45_pipeline_summary,
     "q17_datemath": q17_datemath,
     "q24_text_stats": q24_text_stats,

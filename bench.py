@@ -33,8 +33,11 @@ SCALE_DOCS = int(os.environ.get("WEBDQ_BENCH_DOCS", "1200000"))
 # host can actually scale (see calibration note in BENCH.md)
 SCALE_N = int(os.environ.get("WEBDQ_BENCH_N", "1"))
 # fixed interleaved rounds per scaling run — no ratio-dependent early
-# stop (ADVICE r2: optional stopping biases the estimate)
-SCALE_ROUNDS = int(os.environ.get("WEBDQ_BENCH_ROUNDS", "3"))
+# stop (ADVICE r2: optional stopping biases the estimate). 5 (not 3)
+# since r4: the r3 driver run had ONE co-tenant-poisoned round (ratio
+# 0.254 vs 0.685/0.788) and a 3-round median has no robustness to a
+# single outlier; a 5-round median tolerates two.
+SCALE_ROUNDS = int(os.environ.get("WEBDQ_BENCH_ROUNDS", "5"))
 
 HEADLINE = [
     "q00_quality_pipeline",
@@ -127,8 +130,11 @@ def scaling_run(n_docs: int, n_low: int | None = None, rounds: int | None = None
     trials: dict[str, list[float]] = {"n": [], "4n": []}
     masters = {"n": f"local[{n_low}]", "4n": f"local[{n_low * 4}]"}
 
-    for _ in range(rounds):
-        for tag in ("n", "4n"):
+    for rnd in range(rounds):
+        # alternate within-round order (N,4N / 4N,N / ...): any
+        # systematic first-vs-second-trial effect (page cache, co-tenant
+        # ramp) then cancels across rounds in the per-round ratios
+        for tag in (("n", "4n") if rnd % 2 == 0 else ("4n", "n")):
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child", masters[tag], str(n_docs)],
                 capture_output=True,
@@ -320,8 +326,11 @@ def _write_bench_md(result: dict, s: dict, n_docs: int, rec: dict) -> None:
         "  Unpinned local[N] consumes up to ~4N cores because every chained",
         "  Arrow UDF adds a Python worker per task — pinning makes N vs 4N",
         "  cores literal.",
-        "- A FIXED number of interleaved rounds (N, 4N, N, 4N, ...) runs",
-        "  regardless of interim ratios — no optional stopping (ADVICE r2).",
+        "- A FIXED number of interleaved rounds runs regardless of interim",
+        "  ratios — no optional stopping (ADVICE r2); within-round order",
+        "  alternates (N,4N / 4N,N) so first-trial effects cancel in the",
+        "  per-round ratios. 5 rounds since r4: a 3-round median had no",
+        "  robustness to a single co-tenant-poisoned round (observed r3).",
         "  All trial walls are listed. Two estimators: best-per-level",
         "  pairing, and the MEDIAN OF PER-ROUND RATIOS — a round's two",
         "  trials are adjacent in time so a co-tenant burst hits both and",
@@ -339,11 +348,16 @@ def _write_bench_md(result: dict, s: dict, n_docs: int, rec: dict) -> None:
         "  The 1→4 window is where the hardware can fully express 4×, so",
         "  it carries the headline; wider windows are recorded so the",
         "  claim is window-independent after normalizing by the ceiling.",
-        "- Fixed driver-synchronous latency (ECDF probe+counts jobs, KMeans",
-        "  init sample, 2 Lloyd rounds ≈ 7 jobs, ~2-4 s total) does not",
-        "  scale with cores; the input size is chosen large enough that it",
-        "  is a small fraction of the N-level wall time. At the target",
-        "  10^12-doc scale this constant is negligible by construction.",
+        "- Fixed driver-synchronous latency (fused ECDF probe+counts jobs,",
+        "  fused PCA+init-sample scan — r4 folded the KMeans init TopK into",
+        "  the PCA aggregation — plus 2 Lloyd rounds ≈ 6 jobs, ~2-3 s",
+        "  total) does not scale with cores; the input size is chosen large",
+        "  enough that it is a small fraction of the N-level wall time. At",
+        "  the target 10^12-doc scale this constant is negligible by",
+        "  construction.",
+        "- Headline totals are comparable across rounds ONLY on the same",
+        "  query set (the 14 queries above, unchanged since r2); per-query",
+        "  deltas are the meaningful comparison.",
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:

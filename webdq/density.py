@@ -44,6 +44,7 @@ def dbscan(
     key_col: str,
     max_iter: int = 50,
     max_cell: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """DBSCAN over the numeric columns ``cols`` (1 ≤ d ≤ 3).
 
@@ -60,7 +61,14 @@ def dbscan(
     result is bit-identical to the uncapped run (parity-tested); above
     it, neighbor counts are undercounted (core detection turns
     conservative) — the standard bounded-fanout trade. Default None =
-    exact."""
+    exact.
+
+    ``eager`` (default) materializes the result (localCheckpoint) so
+    every intermediate cache can be released before returning — the
+    algorithm is already eager (one driver scalar per propagation
+    round). ``eager=False`` keeps the output PLAN lazy (no persists to
+    leak, slower border recompute) — used by the plan audit, which
+    must see the grid equi-join shape rather than a checkpoint scan."""
     d = len(cols)
     if not 1 <= d <= 3:
         raise ValueError(f"dbscan supports 1-3 dims (grid fanout 3^d); got {d}")
@@ -116,16 +124,18 @@ def dbscan(
         probe.join(build, on=[f"_pc{i}" for i in range(d)])
         .filter(dist2 <= F.lit(eps2))
         .select(F.col("_id").alias("src"), F.col("_jd").alias("dst"))
-        .persist()
     )
+    if eager:
+        neigh = neigh.persist()
 
     core = (
         neigh.groupBy("src")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= min_pts)
         .select(F.col("src").alias("_id"))
-        .persist()
     )
+    if eager:
+        core = core.persist()
     core_edges = (
         neigh.join(core.select(F.col("_id").alias("src")), "src")
         .join(core.select(F.col("_id").alias("dst")), "dst")
@@ -140,7 +150,8 @@ def dbscan(
         core_edges = core_edges.unionByName(
             core_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    core_edges = core_edges.persist()
+    if eager:
+        core_edges = core_edges.persist()
 
     # min-label propagation + path halving over the core graph.
     # Each round ends in an EAGER localCheckpoint: without lineage
@@ -217,12 +228,12 @@ def dbscan(
             F.coalesce("is_core", F.lit(False)).alias("is_core"),
         )
     )
-    # materialize before releasing the caches: `border` (inside `out`)
-    # still reads `neigh`, and dbscan is already eager (the loop
-    # collects a scalar per round) — one more bounded job, then every
-    # intermediate cache can go
-    out = out.localCheckpoint(eager=True)
-    core_edges.unpersist()
-    neigh.unpersist()
-    core.unpersist()
+    if eager:
+        # materialize before releasing the caches: `border` (inside
+        # `out`) still reads `neigh` — one more bounded job, then every
+        # intermediate cache can go
+        out = out.localCheckpoint(eager=True)
+        core_edges.unpersist()
+        neigh.unpersist()
+        core.unpersist()
     return out
