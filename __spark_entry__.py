@@ -1539,6 +1539,75 @@ FROM l
 """
 
 
+def q60_stratified_sample(spark, sf_dir):
+    """Corpus mixing (the data-mixing step of a pretraining pipeline):
+    keep exactly ceil(rate·n) documents per source, selected by
+    md5-rank — deterministic, partition-invariant, reproducible in any
+    engine with md5 (webdq.mixing.stratified_sample). Rates exercise
+    both the explicit map and the default; DuckDB replays the same
+    row_number-over-md5 window. Reference analog: the deterministic
+    per-area subsetting the reference applies before its study runs
+    (SURVEY.md §2.1)."""
+    from webdq import mixing
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return mixing.stratified_sample(
+        d,
+        strata_cols=["source"],
+        rates={"src0": 0.5, "src1": 0.25, "src2": 0.1},
+        id_col="doc_id",
+        default_rate=0.04,
+    )
+
+
+SQL_60 = """
+WITH r AS (SELECT doc_id, source, lang,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                  count(*) OVER (PARTITION BY source) AS n
+           FROM documents)
+SELECT doc_id, source, lang FROM r
+WHERE rn <= ceil(n * CASE source WHEN 'src0' THEN 0.5
+                                 WHEN 'src1' THEN 0.25
+                                 WHEN 'src2' THEN 0.1
+                                 ELSE 0.04 END)
+"""
+
+
+def q61_sequence_pack(spark, sf_dir):
+    """Contiguous-stream sequence packing (the sharding step before
+    tokenized training data hits the loader): documents laid out in
+    md5-rank order per source, the concatenated token stream cut at
+    multiples of a 500-token budget, each document assigned the shard
+    where its first token lands (webdq.mixing.sequence_pack — ONE
+    running-sum window per stratum, no driver loop). DuckDB replays
+    the identical window arithmetic."""
+    from webdq import mixing
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    out = mixing.sequence_pack(
+        d, budget=500, strata_cols=["source"], id_col="doc_id", tokens_col="n_tokens"
+    )
+    return out.select("doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"), "shard_id")
+
+
+SQL_61 = r"""
+WITH t AS (SELECT doc_id, source,
+                  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+           FROM documents)
+SELECT doc_id, source, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 500.0) AS BIGINT) AS shard_id
+FROM t
+"""
+
+
 def q49_partitioned_layout(spark, sf_dir):
     """Partitioned-layout roundtrip (the S4-family layout operator at
     scale): documents → hive-partitioned parquet by (source, lang) →
@@ -1688,6 +1757,8 @@ FROM pts p LEFT JOIN comp ON comp.id = p.id LEFT JOIN border ON border.id = p.id
 #   q24 text stats   → family covered by q34 quality rules
 #   q26 fingerprint  → family covered by q54 winnowing
 #   q28 minhash sigs → subsumed by q29/q44 (same signature scan)
+#   q29 minhash pairs→ family covered by q44 banded (same signature
+#                      scan + bucket join; q29 adds the jaccard verify)
 #   q30 simhash16    → subsumed by q35 simhash64
 #   q36 sign-LSH ANN → ANN family keeps q33 (exact) + q47 (IVF);
 #                      sign-LSH is exercised by q57's blocked near-dup
@@ -1720,7 +1791,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_first_last": q23_first_last,
     "q25_exact_dedup": q25_exact_dedup,
     "q27_langid": q27_langid,
-    "q29_minhash_lsh_pairs": q29_minhash_lsh_pairs,
     "q31_ngram_jaccard": q31_ngram_jaccard,
     "q32_embedding_neardup": q32_embedding_neardup,
     "q33_ann_topk": q33_ann_topk,
@@ -1745,11 +1815,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_interval_join": q55_interval_join,
     "q56_gopher_repetition": q56_gopher_repetition,
     "q58_sessionize": q58_sessionize,
+    "q60_stratified_sample": q60_stratified_sample,
     # ---- past the 50-entry driver window (family-subsumed or
     # ---- rows-only with pytest gates; still oracled/checked by
     # ---- tools/check_oracle.py and the judge's run) ----
     "q57_embedding_neardup_lsh": q57_embedding_neardup_lsh,
     "q59_auto_k_elbow": q59_auto_k_elbow,
+    "q61_sequence_pack": q61_sequence_pack,
+    "q29_minhash_lsh_pairs": q29_minhash_lsh_pairs,
     "q45_pipeline_summary": q45_pipeline_summary,
     "q17_datemath": q17_datemath,
     "q24_text_stats": q24_text_stats,
@@ -1817,6 +1890,8 @@ _ORACLES: dict[str, str] = {
     "q56_gopher_repetition": SQL_56,
     "q57_embedding_neardup_lsh": SQL_57,
     "q58_sessionize": SQL_58,
+    "q60_stratified_sample": SQL_60,
+    "q61_sequence_pack": SQL_61,
 }
 
 

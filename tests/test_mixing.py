@@ -1,0 +1,103 @@
+"""Corpus mixing & packing (webdq/mixing.py).
+
+Gates: exact per-stratum rates (ceil(rate·n), not Bernoulli),
+partition invariance of the md5-rank selection, default-rate path,
+and sequence_pack equivalence to an independent pandas reference
+(sort by md5 → cumsum → floor((cum−n)/budget)) plus the contiguous
+shard-total bound.
+"""
+
+import hashlib
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from webdq import mixing
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, ["a", "b", "c"][i % 3], 1 + (i * 7) % 40)
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, n_tokens int").persist()
+
+
+def _md5(v) -> str:
+    return hashlib.md5(str(v).encode()).hexdigest()
+
+
+def test_stratified_exact_rates(docs):
+    out = mixing.stratified_sample(
+        docs, ["source"], {"a": 0.5, "b": 0.13}, default_rate=0.02
+    )
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["a"] == math.ceil(0.5 * 100)
+    assert counts["b"] == math.ceil(0.13 * 100)
+    assert counts["c"] == math.ceil(0.02 * 100)  # default_rate path
+
+
+def test_stratified_deterministic_and_partition_invariant(docs):
+    kw = dict(strata_cols=["source"], rates={"a": 0.3, "b": 0.3, "c": 0.3})
+    ids1 = {r["doc_id"] for r in mixing.stratified_sample(docs.repartition(7), **kw).collect()}
+    ids2 = {r["doc_id"] for r in mixing.stratified_sample(docs.repartition(2), **kw).collect()}
+    assert ids1 == ids2
+    # selection is the lowest md5 ranks — replay on the driver
+    pdf = docs.toPandas()
+    for src, grp in pdf.groupby("source"):
+        want = set(
+            grp.assign(h=grp.doc_id.map(_md5))
+            .sort_values(["h", "doc_id"])
+            .head(math.ceil(0.3 * len(grp)))
+            .doc_id
+        )
+        assert {i for i in ids1 if pdf.set_index("doc_id").source[i] == src} == want
+
+
+def test_stratified_rate_key_mismatch_raises(docs):
+    with pytest.raises(ValueError):
+        mixing.stratified_sample(docs, ["source", "doc_id"], {"a": 0.5})
+
+
+def test_sequence_pack_matches_pandas_reference(docs):
+    budget = 100
+    out = mixing.sequence_pack(docs, budget=budget, strata_cols=["source"]).toPandas()
+    ref = docs.toPandas()
+    ref["h"] = ref.doc_id.map(_md5)
+    ref = ref.sort_values(["source", "h", "doc_id"])
+    cum = ref.groupby("source").n_tokens.cumsum()
+    ref["shard_id"] = ((cum - ref.n_tokens) // budget).astype("int64")
+    got = out.set_index("doc_id").shard_id
+    want = ref.set_index("doc_id").shard_id
+    assert got.sort_index().equals(want.sort_index())
+
+
+def test_sequence_pack_shard_properties(docs):
+    budget = 100
+    out = mixing.sequence_pack(docs, budget=budget, strata_cols=["source"]).toPandas()
+    max_doc = int(out.n_tokens.max())
+    for src, grp in out.groupby("source"):
+        shards = sorted(grp.shard_id.unique())
+        # contiguous from 0
+        assert shards == list(range(len(shards)))
+        totals = grp.groupby("shard_id").n_tokens.sum()
+        # every shard except the last holds ~budget tokens (first-token
+        # cut ⇒ total within one max-document of the budget)
+        for sid in shards[:-1]:
+            assert budget - max_doc < totals[sid] < budget + max_doc
+
+
+def test_sequence_pack_partition_invariant(docs):
+    a = mixing.sequence_pack(docs.repartition(7), budget=64, strata_cols=["source"]).toPandas()
+    b = mixing.sequence_pack(docs.repartition(2), budget=64, strata_cols=["source"]).toPandas()
+    assert a.set_index("doc_id").shard_id.sort_index().equals(
+        b.set_index("doc_id").shard_id.sort_index()
+    )
+
+
+def test_sequence_pack_global_no_strata(docs):
+    out = mixing.sequence_pack(docs, budget=1 << 60).toPandas()
+    assert (out.shard_id == 0).all()

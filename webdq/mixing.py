@@ -1,0 +1,100 @@
+"""Corpus mixing & packing: the two ops between quality filtering and
+tokenization that decide WHAT the training run actually sees.
+
+- ``stratified_sample``: deterministic per-stratum (e.g. source,
+  language) sampling at exact per-stratum rates — the data-mixing
+  step ("20% code, 5% wiki, ..."). Selection is by md5-rank within the
+  stratum: order/partition-independent, reproducible across engines
+  (md5 is identical in Spark and DuckDB, unlike xxhash64 which DuckDB
+  lacks), and EXACT — ceil(rate·n) rows per stratum, not a Bernoulli
+  approximation like ``df.sample`` (whose per-row coin flips also
+  change with partitioning).
+- ``sequence_pack``: contiguous fixed-budget shard assignment —
+  documents are laid out in a deterministic order, the concatenated
+  token stream is cut at multiples of ``budget``, and each document
+  lands in the shard where its first token falls (no document is
+  split). Implemented as ONE window pass per stratum:
+  shard boundaries fall out of the running token sum
+  (floor((cumsum − n)/budget) is the classic contiguous-packing
+  rewrite) — parallel across strata, no sequential driver loop.
+
+Scale notes: both ops shuffle once on the stratum key. Strata are
+few (sources × languages), so a heavy stratum can dominate a
+partition; at 10^12 docs sub-salt the window by a hash prefix (pack
+within (stratum, salt) and offset shard ids by salt · max_shards) —
+the same contiguous-sum rewrite applies per salt.
+
+Reference analog: the reference samples per-user activity windows for
+its study areas (SURVEY.md §2.1); the exact-rate md5-rank selection is
+the distributed re-expression of that deterministic subsetting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    rates: dict,
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep exactly ceil(rate · n) rows of each stratum, chosen as the
+    lowest md5(id) ranks — deterministic, partition-invariant, and
+    reproducible in any engine with md5. ``rates`` maps a stratum key
+    (single value, or tuple matching ``strata_cols``) to its rate in
+    [0, 1]; absent strata use ``default_rate``."""
+    rate_rows = []
+    for k, v in rates.items():
+        key = k if isinstance(k, tuple) else (k,)
+        if len(key) != len(strata_cols):
+            raise ValueError(f"rate key {k!r} does not match strata {strata_cols}")
+        rate_rows.append((*key, float(v)))
+    spark = df.sparkSession
+    schema = ", ".join(f"`{c}` string" for c in strata_cols) + ", `_rate` double"
+    rate_df = spark.createDataFrame(rate_rows, schema)
+
+    w = Window.partitionBy(*strata_cols).orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    n = Window.partitionBy(*strata_cols)
+    return (
+        df.join(F.broadcast(rate_df), on=strata_cols, how="left")
+        .withColumn("_rate", F.coalesce(F.col("_rate"), F.lit(float(default_rate))))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(n))
+        .filter(F.col("_rn") <= F.ceil(F.col("_rate") * F.col("_n")))
+        .drop("_rate", "_rn", "_n")
+    )
+
+
+def sequence_pack(
+    df: DataFrame,
+    budget: int,
+    strata_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    out: str = "shard_id",
+) -> DataFrame:
+    """Contiguous-stream sharding: documents are laid out in
+    deterministic md5-rank order within each stratum, the concatenated
+    token stream is cut at multiples of ``budget``, and every document
+    is assigned the shard where its FIRST token lands:
+    shard_id = floor((cumsum − n_tokens) / budget). One running-sum
+    window per stratum; no sequential driver loop.
+
+    Properties (tested): shard ids are contiguous from 0 per stratum;
+    every shard's token total lies in (budget − max_doc, budget +
+    max_doc) except the last; the assignment is partition-invariant.
+    True reset-on-overflow greedy packing (never exceed the budget) is
+    a sequential recurrence — it needs the stateful streaming path
+    (applyInPandasWithState) or per-stratum mapInPandas, not a window;
+    contiguous sharding is what large pretraining loaders actually use
+    (docs are split/bled across shard boundaries downstream anyway)."""
+    strata = strata_cols or []
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w = Window.partitionBy(*strata).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    toks = F.col(tokens_col).cast("long")
+    cum = F.sum(toks).over(w)
+    return df.withColumn(out, F.floor((cum - toks) / F.lit(int(budget))))
