@@ -1608,6 +1608,80 @@ FROM t
 """
 
 
+def q62_dedup_resolve(spark, sf_dir):
+    """The dedup step AFTER pair generation: n-gram-Jaccard pairs
+    (q31's generator, exact at this scale) → connected components
+    (webdq.graph: min-label + path halving, eager localCheckpoint per
+    round) → one canonical keeper per cluster (highest n_chars, ties
+    lowest id). DuckDB value-checks even the iterative component
+    labels with a recursive-CTE transitive closure + the same argmax
+    window."""
+    from webdq import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.05, max_doc_freq=10_000_000)
+    out = dedup.resolve_duplicates(
+        docs.select("doc_id", "n_chars"), pairs, priority_col="n_chars"
+    )
+    return out.select("doc_id", "n_chars", "cluster", "keep")
+
+
+SQL_62 = r"""
+WITH RECURSIVE
+ toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+ grams AS (SELECT doc_id,
+                  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS g
+           FROM toks WHERE len(w) >= 3),
+ sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+ inter AS (SELECT a.doc_id id1, b.doc_id id2, count(*) AS i
+           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+ pr AS (SELECT id1, id2
+        FROM inter JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+        WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.05),
+ e AS (SELECT id1 AS src, id2 AS dst FROM pr UNION ALL SELECT id2, id1 FROM pr),
+ reach AS (SELECT doc_id AS id, doc_id AS lab FROM documents
+           UNION
+           SELECT e.dst AS id, reach.lab FROM reach JOIN e ON e.src = reach.id),
+ comp AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
+SELECT d.doc_id, d.n_chars, c.cluster,
+       row_number() OVER (PARTITION BY c.cluster
+                          ORDER BY d.n_chars DESC, d.doc_id) = 1 AS keep
+FROM documents d JOIN comp c ON c.id = d.doc_id
+"""
+
+
+def q63_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (train/test-overlap scrub): flag every
+    corpus document sharing any winnowing fingerprint — i.e. any
+    common run of ≥ 6 tokens, by the winnowing guarantee — with the
+    benchmark set (docs with doc_id % 17 == 0). Broadcast semi-join of
+    the benchmark fingerprint set; DuckDB replays the identical
+    fingerprinting (SQL_54's window-min) on both sides."""
+    from webdq import dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    out = dedup.decontaminate(docs, bench, k=3, window=4, mode="flag")
+    return out.select("doc_id", "contaminated")
+
+
+SQL_63 = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents),
+ g AS (SELECT doc_id, unnest(generate_series(1, len(w) - 2)) AS i, w FROM t WHERE len(w) >= 3),
+ h AS (SELECT doc_id, i - 1 AS pos, md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS h FROM g),
+ win AS (SELECT doc_id,
+                min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cw
+         FROM h),
+ fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE cw = 4),
+ bfp AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 17 = 0),
+ hit AS (SELECT DISTINCT f.doc_id FROM fps f JOIN bfp b ON f.fp = b.fp)
+SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
+FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id
+"""
+
+
 def q49_partitioned_layout(spark, sf_dir):
     """Partitioned-layout roundtrip (the S4-family layout operator at
     scale): documents → hive-partitioned parquet by (source, lang) →
@@ -1822,6 +1896,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_embedding_neardup_lsh": q57_embedding_neardup_lsh,
     "q59_auto_k_elbow": q59_auto_k_elbow,
     "q61_sequence_pack": q61_sequence_pack,
+    "q62_dedup_resolve": q62_dedup_resolve,
+    "q63_decontaminate": q63_decontaminate,
     "q29_minhash_lsh_pairs": q29_minhash_lsh_pairs,
     "q45_pipeline_summary": q45_pipeline_summary,
     "q17_datemath": q17_datemath,
@@ -1892,6 +1968,8 @@ _ORACLES: dict[str, str] = {
     "q58_sessionize": SQL_58,
     "q60_stratified_sample": SQL_60,
     "q61_sequence_pack": SQL_61,
+    "q62_dedup_resolve": SQL_62,
+    "q63_decontaminate": SQL_63,
 }
 
 

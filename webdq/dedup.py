@@ -337,3 +337,81 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id1: str = "id1",
+    id2: str = "id2",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """The dedup step AFTER pair generation: collapse near-duplicate
+    PAIRS (from any generator above — MinHash/SimHash/Jaccard/
+    embedding) into duplicate CLUSTERS via connected components
+    (webdq.graph: min-label + path halving) and pick one canonical
+    document per cluster. Output: every input row + ``cluster`` (the
+    minimum member id — deterministic) + ``keep`` (true for exactly
+    one member per cluster: highest ``priority_col`` if given, ties
+    and default by lowest id; unpaired docs keep themselves).
+
+    Scale notes: components state is one long per PAIRED doc only
+    (unpaired docs never enter the iteration — at web scale the
+    paired subset is orders of magnitude smaller than the corpus);
+    the final attach is one left join on the id.
+    """
+    from webdq.graph import connected_components
+
+    comp = connected_components(pairs, src=id1, dst=id2, node_col="_cid")
+    out = (
+        df.join(comp.select(F.col("_cid").alias(id_col), "component"), id_col, "left")
+        .withColumn("cluster", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("component")
+    )
+    order = [F.col(id_col).asc()]
+    if priority_col is not None:
+        order.insert(0, F.col(priority_col).desc())
+    w = Window.partitionBy("cluster").orderBy(*order)
+    return out.withColumn("keep", F.row_number().over(w) == 1)
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    mode: str = "flag",
+) -> DataFrame:
+    """Benchmark decontamination: flag (or drop) corpus documents that
+    share any winnowing fingerprint with ``benchmark`` — i.e. any
+    common token run of length ≥ k + window − 1 is guaranteed to be
+    caught (the winnowing guarantee, Schleimer et al. '03). This is
+    the train/test-overlap scrub every pretraining corpus needs.
+
+    Shape: fingerprint both sides (one shuffle each), broadcast the
+    benchmark's DISTINCT fingerprint set (benchmarks are small —
+    thousands of docs; for a huge benchmark drop the hint and let the
+    fingerprint equi-join shuffle), then one semi/anti join per doc.
+    ``mode='flag'`` returns df + boolean ``contaminated``;
+    ``mode='drop'`` returns only clean rows."""
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    fps = winnow_fingerprints(df, id_col=id_col, text_col=text_col, k=k, window=window)
+    bfp = (
+        winnow_fingerprints(benchmark, id_col=id_col, text_col=text_col, k=k, window=window)
+        .select("fingerprint")
+        .dropDuplicates()
+    )
+    hit = (
+        fps.join(F.broadcast(bfp), "fingerprint")
+        .select(F.col("doc_id").alias(id_col))
+        .dropDuplicates()
+    )
+    if mode == "drop":
+        return df.join(hit, id_col, "left_anti")
+    return df.join(
+        hit.withColumn("_hit", F.lit(True)), id_col, "left"
+    ).withColumn("contaminated", F.coalesce(F.col("_hit"), F.lit(False))).drop("_hit")

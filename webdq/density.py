@@ -30,10 +30,11 @@ shapes. DBSCAN itself: Ester/Kriegel/Sander/Xu, KDD '96 (public).
 from __future__ import annotations
 
 import itertools
-import warnings
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from webdq.graph import connected_components
 
 
 def dbscan(
@@ -153,60 +154,19 @@ def dbscan(
     if eager:
         core_edges = core_edges.persist()
 
-    # min-label propagation + path halving over the core graph.
-    # Each round ends in an EAGER localCheckpoint: without lineage
-    # truncation the logical plan doubles per round (the path-halving
-    # self-join references the round's frame twice) and Catalyst
-    # analysis goes exponential — the standard iterative-algorithm
-    # trap. On a cluster with flaky executors use a reliable
-    # checkpoint dir (sc.setCheckpointDir + .checkpoint()) instead.
-    lab = core.select("_id", F.col("_id").alias("lab")).localCheckpoint(eager=True)
-    prev_sum = None
-    converged = False
-    for _ in range(max_iter):
-        cand = (
-            core_edges.join(
-                lab.select(F.col("_id").alias("src"), F.col("lab").alias("_sl")), "src"
-            )
-            .groupBy("dst")
-            .agg(F.min("_sl").alias("_cand"))
-        )
-        relaxed = (
-            lab.join(cand.select(F.col("dst").alias("_id"), "_cand"), "_id", "left")
-            .select("_id", F.least("lab", F.coalesce("_cand", F.col("lab"))).alias("lab"))
-        )
-        halved = (
-            relaxed.alias("a")
-            .join(
-                relaxed.select(F.col("_id").alias("_pid"), F.col("lab").alias("_plab")).alias("b"),
-                F.col("a.lab") == F.col("b._pid"),
-                "left",
-            )
-            .select(
-                F.col("a._id").alias("_id"),
-                F.least(F.col("a.lab"), F.coalesce(F.col("_plab"), F.col("a.lab"))).alias("lab"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        # labels are monotone non-increasing ⇒ sum stabilizes exactly at
-        # the fixed point (one k-row-bounded driver scalar per round).
-        # s is None ⇔ zero core points (empty frame): converged trivially.
-        s = halved.agg(F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
-        lab = halved
-        if s is None or s == prev_sum:
-            converged = True
-            break
-        prev_sum = s
-    if not converged:
-        # silent partial merges would look like extra clusters (ADVICE
-        # r3); with path halving, rounds ≈ log2(component diameter), so
-        # hitting 50 means something is badly wrong
-        warnings.warn(
-            f"dbscan label propagation did not converge in {max_iter} rounds; "
-            "component labels may be partially merged",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+    # min-label propagation + path halving over the core graph — the
+    # shared kernel in webdq.graph (eager localCheckpoint per round,
+    # monotone-sum convergence probe, loud warning on max_iter
+    # exhaustion — silent partial merges would look like extra
+    # clusters, ADVICE r3). core_edges already carries both
+    # directions, so symmetrize=False.
+    lab = connected_components(
+        core_edges,
+        nodes=core.select("_id"),
+        node_col="_id",
+        max_iter=max_iter,
+        symmetrize=False,
+    ).select("_id", F.col("component").alias("lab"))
 
     border = (
         neigh.join(core.select(F.col("_id").alias("dst")), "dst")
