@@ -1541,11 +1541,14 @@ FROM l
 
 def q60_stratified_sample(spark, sf_dir):
     """Corpus mixing (the data-mixing step of a pretraining pipeline):
-    keep exactly ceil(rate·n) documents per source, selected by
-    md5-rank — deterministic, partition-invariant, reproducible in any
-    engine with md5 (webdq.mixing.stratified_sample). Rates exercise
-    both the explicit map and the default; DuckDB replays the same
-    row_number-over-md5 window. Reference analog: the deterministic
+    exact per-source rates, DOWN- and UP-sampling — rate r emits
+    floor(r) copies of every doc plus one extra for the ceil(frac·n)
+    lowest md5-ranks, so each source lands at exactly
+    floor(r)·n + ceil(frac·n) rows (webdq.mixing.stratified_sample;
+    deterministic, partition-invariant, engine-portable). Rates
+    exercise down (0.5/0.25), up (2.5 — the "wikipedia ×2.5" case)
+    and the default; DuckDB replays the same row_number-over-md5
+    window + range() fan-out. Reference analog: the deterministic
     per-area subsetting the reference applies before its study runs
     (SURVEY.md §2.1)."""
     from webdq import mixing
@@ -1554,7 +1557,7 @@ def q60_stratified_sample(spark, sf_dir):
     return mixing.stratified_sample(
         d,
         strata_cols=["source"],
-        rates={"src0": 0.5, "src1": 0.25, "src2": 0.1},
+        rates={"src0": 0.5, "src1": 0.25, "src2": 2.5},
         id_col="doc_id",
         default_rate=0.04,
     )
@@ -1562,15 +1565,20 @@ def q60_stratified_sample(spark, sf_dir):
 
 SQL_60 = """
 WITH r AS (SELECT doc_id, source, lang,
+                  CASE source WHEN 'src0' THEN 0.5
+                              WHEN 'src1' THEN 0.25
+                              WHEN 'src2' THEN 2.5
+                              ELSE 0.04 END AS rate,
                   row_number() OVER (PARTITION BY source
                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
                   count(*) OVER (PARTITION BY source) AS n
-           FROM documents)
-SELECT doc_id, source, lang FROM r
-WHERE rn <= ceil(n * CASE source WHEN 'src0' THEN 0.5
-                                 WHEN 'src1' THEN 0.25
-                                 WHEN 'src2' THEN 0.1
-                                 ELSE 0.04 END)
+           FROM documents),
+ c AS (SELECT doc_id, source, lang,
+              CAST(floor(rate) AS INT)
+              + CASE WHEN rn <= ceil((rate - floor(rate)) * n) THEN 1 ELSE 0 END AS copies
+       FROM r)
+SELECT doc_id, source, lang
+FROM (SELECT doc_id, source, lang, unnest(range(copies)) FROM c WHERE copies >= 1)
 """
 
 

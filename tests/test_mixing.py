@@ -57,6 +57,33 @@ def test_stratified_deterministic_and_partition_invariant(docs):
         assert {i for i in ids1 if pdf.set_index("doc_id").source[i] == src} == want
 
 
+def test_stratified_upsampling_exact_counts(docs):
+    out = mixing.stratified_sample(
+        docs, ["source"], {"a": 2.5, "b": 3.0}, default_rate=0.1, copy_col="copy"
+    )
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["a"] == 2 * 100 + math.ceil(0.5 * 100)
+    assert counts["b"] == 3 * 100
+    assert counts["c"] == math.ceil(0.1 * 100)
+    # copy index: every 'a' doc appears with copies {1,2} or {1,2,3};
+    # the extra-copy docs are the lowest md5 ranks
+    pdf = out.filter(F.col("source") == "a").toPandas()
+    per_doc = pdf.groupby("doc_id")["copy"].agg(["count", "max"])
+    assert set(per_doc["count"].unique()) == {2, 3}
+    assert (per_doc["count"] == per_doc["max"]).all()
+    tripled = set(per_doc[per_doc["count"] == 3].index)
+    src = docs.filter(F.col("source") == "a").toPandas()
+    want = set(
+        src.assign(h=src.doc_id.map(_md5)).sort_values(["h", "doc_id"]).head(50).doc_id
+    )
+    assert tripled == want
+
+
+def test_stratified_negative_rate_raises(docs):
+    with pytest.raises(ValueError):
+        mixing.stratified_sample(docs, ["source"], {"a": -0.1})
+
+
 def test_stratified_rate_key_mismatch_raises(docs):
     with pytest.raises(ValueError):
         mixing.stratified_sample(docs, ["source", "doc_id"], {"a": 0.5})

@@ -3,10 +3,12 @@ tokenization that decide WHAT the training run actually sees.
 
 - ``stratified_sample``: deterministic per-stratum (e.g. source,
   language) sampling at exact per-stratum rates — the data-mixing
-  step ("20% code, 5% wiki, ..."). Selection is by md5-rank within the
-  stratum: order/partition-independent, reproducible across engines
-  (md5 is identical in Spark and DuckDB, unlike xxhash64 which DuckDB
-  lacks), and EXACT — ceil(rate·n) rows per stratum, not a Bernoulli
+  step ("20% code, 5% wiki, wikipedia ×2.5, ..."), down- AND
+  up-sampling (rates > 1 repeat rows). Selection is by md5-rank
+  within the stratum: order/partition-independent, reproducible
+  across engines (md5 is identical in Spark and DuckDB, unlike
+  xxhash64 which DuckDB lacks), and EXACT —
+  floor(r)·n + ceil(frac(r)·n) rows per stratum, not a Bernoulli
   approximation like ``df.sample`` (whose per-row coin flips also
   change with partitioning).
 - ``sequence_pack``: contiguous fixed-budget shard assignment —
@@ -41,17 +43,26 @@ def stratified_sample(
     rates: dict,
     id_col: str = "doc_id",
     default_rate: float = 0.0,
+    copy_col: str | None = None,
 ) -> DataFrame:
-    """Keep exactly ceil(rate · n) rows of each stratum, chosen as the
-    lowest md5(id) ranks — deterministic, partition-invariant, and
-    reproducible in any engine with md5. ``rates`` maps a stratum key
-    (single value, or tuple matching ``strata_cols``) to its rate in
-    [0, 1]; absent strata use ``default_rate``."""
+    """Exact per-stratum mixing rates, down- AND up-sampling.
+
+    Rate r = c + f (c = floor(r), f = frac): every row of the stratum
+    is emitted c times, and the ceil(f · n) lowest-md5(id)-rank rows
+    get one extra copy — so each stratum lands at exactly
+    c·n + ceil(f·n) rows (for r ≤ 1 this is the plain "keep the
+    ceil(r·n) lowest ranks" subset). Deterministic, partition-
+    invariant, reproducible in any engine with md5. ``rates`` maps a
+    stratum key (single value, or tuple matching ``strata_cols``) to
+    its rate ≥ 0; absent strata use ``default_rate``. ``copy_col``:
+    optionally expose the 1-based copy index (upsampled epochs)."""
     rate_rows = []
     for k, v in rates.items():
         key = k if isinstance(k, tuple) else (k,)
         if len(key) != len(strata_cols):
             raise ValueError(f"rate key {k!r} does not match strata {strata_cols}")
+        if v < 0:
+            raise ValueError(f"rate for {k!r} must be >= 0, got {v}")
         rate_rows.append((*key, float(v)))
     spark = df.sparkSession
     schema = ", ".join(f"`{c}` string" for c in strata_cols) + ", `_rate` double"
@@ -59,14 +70,24 @@ def stratified_sample(
 
     w = Window.partitionBy(*strata_cols).orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
     n = Window.partitionBy(*strata_cols)
-    return (
+    whole = F.floor(F.col("_rate")).cast("int")
+    frac = F.col("_rate") - F.floor(F.col("_rate"))
+    out = (
         df.join(F.broadcast(rate_df), on=strata_cols, how="left")
         .withColumn("_rate", F.coalesce(F.col("_rate"), F.lit(float(default_rate))))
         .withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count(F.lit(1)).over(n))
-        .filter(F.col("_rn") <= F.ceil(F.col("_rate") * F.col("_n")))
-        .drop("_rate", "_rn", "_n")
+        .withColumn(
+            "_copies",
+            whole + (F.col("_rn") <= F.ceil(frac * F.col("_n"))).cast("int"),
+        )
+        .filter(F.col("_copies") >= 1)
+        .withColumn("_copy", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
+        .drop("_rate", "_rn", "_n", "_copies")
     )
+    if copy_col is None:
+        return out.drop("_copy")
+    return out.withColumnRenamed("_copy", copy_col)
 
 
 def sequence_pack(
