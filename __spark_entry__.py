@@ -1690,6 +1690,34 @@ FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id
 """
 
 
+def q64_url_filter(spark, sf_dir):
+    """C4-style URL hygiene (the filter that runs BEFORE content
+    heuristics): domain blocklist with parent-domain suffix semantics
+    — the host's dot-suffix chain against a constant-folded literal
+    array (whole-stage codegen, zero shuffle; webdq.urlfilter) — plus
+    one combined path-pattern regex. Host extraction shares
+    hostagg.HOST_REGEX with the host-labeling pipeline. DuckDB replays
+    the url construction and both predicates."""
+    from webdq import urlfilter
+    from webdq.synth import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir).select("url")
+    out = urlfilter.apply_url_filters(
+        pages,
+        blocklist=["src3.example", "src7.example", "src12.example"],
+        patterns=[r"/d/\d*7$"],
+    )
+    return out.select("url", "blocked_domain", "blocked_pattern")
+
+
+SQL_64 = """
+SELECT 'https://' || source || '.example/d/' || doc_id AS url,
+       source IN ('src3', 'src7', 'src12') AS blocked_domain,
+       doc_id % 10 = 7 AS blocked_pattern
+FROM documents
+"""
+
+
 def q49_partitioned_layout(spark, sf_dir):
     """Partitioned-layout roundtrip (the S4-family layout operator at
     scale): documents → hive-partitioned parquet by (source, lang) →
@@ -1906,6 +1934,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_sequence_pack": q61_sequence_pack,
     "q62_dedup_resolve": q62_dedup_resolve,
     "q63_decontaminate": q63_decontaminate,
+    "q64_url_filter": q64_url_filter,
     "q29_minhash_lsh_pairs": q29_minhash_lsh_pairs,
     "q45_pipeline_summary": q45_pipeline_summary,
     "q17_datemath": q17_datemath,
@@ -1978,6 +2007,7 @@ _ORACLES: dict[str, str] = {
     "q61_sequence_pack": SQL_61,
     "q62_dedup_resolve": SQL_62,
     "q63_decontaminate": SQL_63,
+    "q64_url_filter": SQL_64,
 }
 
 
