@@ -1718,6 +1718,62 @@ FROM documents
 """
 
 
+def q65_build_vocab(spark, sf_dir):
+    """Vocabulary construction (tokenizer prep): global token
+    frequency table with deterministic frequency-rank ids — TopK
+    truncation runs BEFORE the bounded global rank window
+    (webdq.textprep.build_vocab). DuckDB replays the identical
+    group + rank."""
+    from webdq import textprep
+
+    return textprep.build_vocab(
+        _t(spark, sf_dir, "documents"), max_vocab=100, min_count=2
+    )
+
+
+SQL_65 = r"""
+WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+ c AS (SELECT token, count(*) AS freq FROM t WHERE token <> ''
+       GROUP BY token HAVING count(*) >= 2),
+ r AS (SELECT token, freq,
+              row_number() OVER (ORDER BY freq DESC, token) - 1 AS vocab_id
+       FROM c)
+SELECT token, freq, CAST(vocab_id AS INT) AS vocab_id FROM r WHERE vocab_id < 100
+"""
+
+
+def q66_oov_stats(spark, sf_dir):
+    """Per-document OOV rate against a min_count=5 / top-500 vocab —
+    the coverage check run before committing to a tokenizer. Explode +
+    broadcast vocab join + one groupBy (webdq.textprep.oov_stats);
+    DuckDB replays vocab construction and the per-doc aggregation."""
+    from webdq import textprep
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = textprep.build_vocab(docs, max_vocab=500, min_count=5)
+    out = textprep.oov_stats(docs, vocab)
+    return out.select(
+        "doc_id", "n_tokens", "n_oov", F.round("oov_rate", 6).alias("oov_rate")
+    )
+
+
+SQL_66 = r"""
+WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           FROM documents),
+ tt AS (SELECT doc_id, token FROM t WHERE token <> ''),
+ c AS (SELECT token, count(*) AS freq FROM tt GROUP BY token HAVING count(*) >= 5),
+ v AS (SELECT token FROM (
+         SELECT token, row_number() OVER (ORDER BY freq DESC, token) - 1 AS vid
+         FROM c) WHERE vid < 500)
+SELECT tt.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS oov_rate
+FROM tt LEFT JOIN v ON v.token = tt.token
+GROUP BY tt.doc_id
+"""
+
+
 def q49_partitioned_layout(spark, sf_dir):
     """Partitioned-layout roundtrip (the S4-family layout operator at
     scale): documents → hive-partitioned parquet by (source, lang) →
@@ -1935,6 +1991,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_dedup_resolve": q62_dedup_resolve,
     "q63_decontaminate": q63_decontaminate,
     "q64_url_filter": q64_url_filter,
+    "q65_build_vocab": q65_build_vocab,
+    "q66_oov_stats": q66_oov_stats,
     "q29_minhash_lsh_pairs": q29_minhash_lsh_pairs,
     "q45_pipeline_summary": q45_pipeline_summary,
     "q17_datemath": q17_datemath,
@@ -2008,6 +2066,8 @@ _ORACLES: dict[str, str] = {
     "q62_dedup_resolve": SQL_62,
     "q63_decontaminate": SQL_63,
     "q64_url_filter": SQL_64,
+    "q65_build_vocab": SQL_65,
+    "q66_oov_stats": SQL_66,
 }
 
 

@@ -164,3 +164,49 @@ def test_dedup_consecutive_lines_matches_python_and_idempotent(spark):
     )
     again = textprep.dedup_consecutive_lines(once).collect()
     assert all(r["n_removed"] == 0 for r in again)
+
+
+def _vocab_docs(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (2, "a rare xylophone zephyr"),
+        (3, "the the the cat cat dog"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_build_vocab_matches_python(spark):
+    import collections
+
+    d = _vocab_docs(spark)
+    got = [(r["token"], r["freq"], r["vocab_id"]) for r in
+           textprep.build_vocab(d, min_count=2).orderBy("vocab_id").collect()]
+    cnt = collections.Counter(
+        t for r in d.collect() for t in r["text"].split() if t
+    )
+    want = sorted(
+        ((t, c) for t, c in cnt.items() if c >= 2), key=lambda x: (-x[1], x[0])
+    )
+    assert got == [(t, c, i) for i, (t, c) in enumerate(want)]
+
+
+def test_build_vocab_topk_truncation_consistent(spark):
+    d = _vocab_docs(spark)
+    full = textprep.build_vocab(d).orderBy("vocab_id").collect()
+    top3 = textprep.build_vocab(d, max_vocab=3).orderBy("vocab_id").collect()
+    assert [tuple(r) for r in top3] == [tuple(r) for r in full[:3]]
+
+
+def test_oov_stats_match_python(spark):
+    d = _vocab_docs(spark)
+    vocab = textprep.build_vocab(d, min_count=2)
+    vset = {r["token"] for r in vocab.collect()}
+    got = {r["doc_id"]: (r["n_tokens"], r["n_oov"]) for r in
+           textprep.oov_stats(d, vocab).collect()}
+    for r in d.collect():
+        toks = [t for t in r["text"].split() if t]
+        assert got[r["doc_id"]] == (len(toks), sum(t not in vset for t in toks))
+    # rate consistency
+    for r in textprep.oov_stats(d, vocab).collect():
+        assert abs(r["oov_rate"] - r["n_oov"] / r["n_tokens"]) < 1e-12

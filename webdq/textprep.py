@@ -223,3 +223,62 @@ def gopher_repetition(
             F.when(tot > 0, best["bch"] / tot).otherwise(F.lit(0.0)),
         )
     return out.drop("_text")
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    max_vocab: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary table (token, freq, vocab_id) — the
+    tokenizer-construction step between text prep and training.
+    vocab_id is the frequency rank (0-based, ties broken
+    lexicographically — fully deterministic). Shape: one explode +
+    one hash groupBy (map-side combined); the rank is a global window
+    over the VOCAB table, which is bounded — pass ``max_vocab`` at
+    web scale so the TopK (parallel per-partition truncation + merge)
+    runs BEFORE the single-partition rank, leaving the window
+    max_vocab rows regardless of corpus size."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.explode(_toks(text_col)).alias("token")).filter(F.col("token") != "")
+    counts = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= int(min_count))
+    )
+    order = [F.desc("freq"), F.col("token")]
+    if max_vocab is not None:
+        counts = counts.orderBy(*order).limit(int(max_vocab))
+    w = Window.orderBy(*order)
+    return counts.withColumn("vocab_id", F.row_number().over(w) - 1)
+
+
+def oov_stats(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary stats vs a vocab table:
+    (id, n_tokens, n_oov, oov_rate). The vocab is broadcast (it is
+    max_vocab-bounded by construction); one explode + broadcast left
+    join + one groupBy keyed by the doc id — no skew (ids unique).
+    Documents with zero tokens don't appear (nothing to rate)."""
+    tok = df.select(
+        F.col(id_col), F.explode(_toks(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    marked = tok.join(
+        F.broadcast(vocab.select("token").withColumn("_in", F.lit(True))),
+        "token",
+        "left",
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        (
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("oov_rate"),
+    )
