@@ -73,6 +73,25 @@ CHECKS = {
     # self-contained LSH near-dup: candidate generation must be the
     # (table, bucket) equi-self-join, never an all-pairs product
     "q57_embedding_neardup_lsh": ["!Cartesian", "!NestedLoop"],
+    # stratified sampling: rate lookup must broadcast (tiny rate
+    # table); selection is one per-stratum window — never a global
+    # single-partition sort
+    "q60_stratified_sample": ["BroadcastHashJoin", "!Exchange SinglePartition"],
+    # sequence packing: one per-stratum running-sum window, hash-
+    # partitioned on the stratum key
+    "q61_sequence_pack": ["!Exchange SinglePartition"],
+    # decontamination: the benchmark fingerprint set must broadcast;
+    # the per-doc probe is an equi-join, never an all-pairs product
+    "q63_decontaminate": ["BroadcastHashJoin", "!Cartesian", "!NestedLoop"],
+    # URL filtering (list path): pure per-row expressions — a single
+    # stage, no join, no shuffle at all
+    "q64_url_filter": ["!Exchange", "!Join"],
+    # vocab: token counts must combine map-side; the only global sort
+    # is the TopK (TakeOrdered), never a full single-partition sort
+    # of the token table
+    "q65_build_vocab": ["partial_", "TakeOrderedAndProject"],
+    # OOV stats: vocab joins broadcast; per-doc agg combines map-side
+    "q66_oov_stats": ["BroadcastHashJoin", "partial_", "!Cartesian"],
 }
 
 
