@@ -1811,6 +1811,81 @@ def q67_quality_classifier(spark, sf_dir):
     return out.select("url", F.round("prob", 4).alias("prob"), "pred")
 
 
+def q68_salted_agg(spark, sf_dir):
+    """Skew-defusing two-stage aggregation (the explicit form of the
+    north rule's salted repartitioning): events aggregated by
+    event_type — a 5-value power-law key at web scale — via
+    (key, salt)-partial + merge stages (webdq.skew.salted_agg,
+    salt = xxhash64(event_id) mod 16). For algebraic aggregates the
+    result is EXACTLY the direct groupBy, which is the DuckDB oracle."""
+    from webdq import skew
+
+    ev = _t(spark, sf_dir, "events")
+    out = skew.salted_agg(
+        ev,
+        keys=["event_type"],
+        spec={
+            "n": ("count", None),
+            "sum_value": ("sum", "value"),
+            "min_ts": ("min", "ts"),
+            "max_ts": ("max", "ts"),
+            "avg_value": ("avg", "value"),
+        },
+        salt_on="event_id",
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.col("min_ts").cast("timestamp").alias("min_ts"),
+        F.col("max_ts").cast("timestamp").alias("max_ts"),
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
+SQL_68 = """
+SELECT event_type, count(*) AS n,
+       round(sum(value), 6) AS sum_value,
+       CAST(min(ts) AS TIMESTAMP) AS min_ts,
+       CAST(max(ts) AS TIMESTAMP) AS max_ts,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def q69_delta_dedup(spark, sf_dir):
+    """Incremental corpus update: a delta batch (every 3rd document,
+    plus planted re-identified copies of corpus texts) probed against
+    the already-ingested corpus by exact-text fingerprint
+    (webdq.dedup.dedup_against — distinct-fingerprint build side, one
+    equi-join). DuckDB replays the md5 semi-join."""
+    from webdq import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    fresh = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    planted = (
+        corpus.filter(F.col("doc_id") % 5 == 1)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    delta = fresh.unionByName(planted)
+    out = dedup.dedup_against(delta, corpus.select("text"))
+    return out.select("doc_id", "in_corpus")
+
+
+SQL_69 = """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+ delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text FROM corpus WHERE doc_id % 5 = 1),
+ seen AS (SELECT DISTINCT md5(coalesce(text, '')) AS fp FROM corpus)
+SELECT d.doc_id,
+       md5(coalesce(d.text, '')) IN (SELECT fp FROM seen) AS in_corpus
+FROM delta d
+"""
+
+
 def q49_partitioned_layout(spark, sf_dir):
     """Partitioned-layout roundtrip (the S4-family layout operator at
     scale): documents → hive-partitioned parquet by (source, lang) →
@@ -2031,6 +2106,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_build_vocab": q65_build_vocab,
     "q66_oov_stats": q66_oov_stats,
     "q67_quality_classifier": q67_quality_classifier,
+    "q68_salted_agg": q68_salted_agg,
+    "q69_delta_dedup": q69_delta_dedup,
     "q29_minhash_lsh_pairs": q29_minhash_lsh_pairs,
     "q45_pipeline_summary": q45_pipeline_summary,
     "q17_datemath": q17_datemath,
@@ -2106,6 +2183,8 @@ _ORACLES: dict[str, str] = {
     "q64_url_filter": SQL_64,
     "q65_build_vocab": SQL_65,
     "q66_oov_stats": SQL_66,
+    "q68_salted_agg": SQL_68,
+    "q69_delta_dedup": SQL_69,
 }
 
 

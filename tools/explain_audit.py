@@ -92,6 +92,11 @@ CHECKS = {
     "q65_build_vocab": ["partial_", "TakeOrderedAndProject"],
     # OOV stats: vocab joins broadcast; per-doc agg combines map-side
     "q66_oov_stats": ["BroadcastHashJoin", "partial_", "!Cartesian"],
+    # salted agg: two hash-aggregation stages, both map-side combined;
+    # never a single-partition exchange
+    "q68_salted_agg": ["partial_", "!Exchange SinglePartition"],
+    # delta dedup: fingerprint equi-join, never an all-pairs product
+    "q69_delta_dedup": ["!Cartesian", "!NestedLoop"],
 }
 
 

@@ -415,3 +415,35 @@ def decontaminate(
     return df.join(
         hit.withColumn("_hit", F.lit(True)), id_col, "left"
     ).withColumn("contaminated", F.coalesce(F.col("_hit"), F.lit(False))).drop("_hit")
+
+
+def dedup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "flag",
+) -> DataFrame:
+    """Incremental (delta) dedup: flag or drop NEW documents whose
+    exact text already exists in the ingested corpus — the
+    batch-over-batch production shape (streaming.dedup_stream is the
+    per-microbatch stateful form of the same check). One equi-join on
+    md5(text) (same fingerprint as exact_dedup); the corpus side is
+    pre-aggregated to distinct fingerprints, so the join's build input
+    is one row per distinct corpus text regardless of duplication.
+
+    At 10^12 docs the corpus fingerprint set is a persisted/bucketed
+    stage table (storage.write_bucketed keyed on the fingerprint makes
+    every delta's probe exchange-free)."""
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    seen = corpus_df.select(fp.alias("_fp")).dropDuplicates()
+    tagged = new_df.withColumn("_fp", fp)
+    if mode == "drop":
+        return tagged.join(seen, "_fp", "left_anti").drop("_fp")
+    return (
+        tagged.join(seen.withColumn("_seen", F.lit(True)), "_fp", "left")
+        .withColumn("in_corpus", F.coalesce(F.col("_seen"), F.lit(False)))
+        .drop("_fp", "_seen")
+    )
