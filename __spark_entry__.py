@@ -1886,6 +1886,42 @@ FROM delta d
 """
 
 
+def q70_jsonl_source(spark, sf_dir):
+    """JSONL source/sink roundtrip (the web-corpus interchange format
+    next to q40's CSV and q49's partitioned parquet): documents →
+    line-delimited JSON → read back with an EXPLICIT schema (no
+    sampling-based inference — schema drift fails loudly, and the scan
+    prunes to the declared columns) → aggregate. Oracle reads the
+    original parquet, so the roundtrip is value-checked."""
+    import os
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"webdq_jsonl_stage_{os.getpid()}",
+        os.path.basename(sf_dir.rstrip("/")),
+        "documents",
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    d.write.mode("overwrite").json(stage)
+    back = spark.read.schema(
+        "doc_id LONG, lang STRING, source STRING, n_chars LONG"
+    ).json(stage)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+SQL_70 = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc
+FROM documents GROUP BY lang
+"""
+
+
 def q49_partitioned_layout(spark, sf_dir):
     """Partitioned-layout roundtrip (the S4-family layout operator at
     scale): documents → hive-partitioned parquet by (source, lang) →
@@ -2108,6 +2144,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_quality_classifier": q67_quality_classifier,
     "q68_salted_agg": q68_salted_agg,
     "q69_delta_dedup": q69_delta_dedup,
+    "q70_jsonl_source": q70_jsonl_source,
     "q29_minhash_lsh_pairs": q29_minhash_lsh_pairs,
     "q45_pipeline_summary": q45_pipeline_summary,
     "q17_datemath": q17_datemath,
@@ -2185,6 +2222,7 @@ _ORACLES: dict[str, str] = {
     "q66_oov_stats": SQL_66,
     "q68_salted_agg": SQL_68,
     "q69_delta_dedup": SQL_69,
+    "q70_jsonl_source": SQL_70,
 }
 
 

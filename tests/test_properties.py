@@ -166,3 +166,103 @@ def test_chunking_and_rep_removal_properties(docs, chunk, overlap):
         ref = [t for j, t in enumerate(toks) if j == 0 or t != toks[j - 1]]
         assert rr[i] == " ".join(ref)
         assert rr2[i] == rr[i]  # idempotent
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)), min_size=0, max_size=40
+    ),
+)
+def test_connected_components_match_union_find_property(edges):
+    """For ANY random edge multiset (self-loops, duplicates, isolated
+    nodes): component = min reachable node id, exactly union-find."""
+    spark = _get_spark()
+    from webdq.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(26)], "id long")
+    if edges:
+        e = spark.createDataFrame(edges, "src long, dst long")
+    else:
+        e = spark.createDataFrame([], "src long, dst long")
+    got = {r["_id"]: r["component"] for r in connected_components(e, nodes=nodes).collect()}
+
+    parent = list(range(26))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: min(j for j in range(26) if find(j) == find(i)) for i in range(26)}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from("abc"), st.integers(1, 30)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.sampled_from([1, 7, 40]),
+)
+def test_sequence_pack_matches_pandas_property(rows, budget):
+    """For ANY doc set and budget: shard = floor((cumsum − n)/budget)
+    in md5-rank order per stratum — exactly the pandas replay."""
+    import hashlib
+
+    import pandas as pd
+
+    spark = _get_spark()
+    from webdq import mixing
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    got = mixing.sequence_pack(df, budget=budget, strata_cols=["source"]).toPandas()
+    ref = pd.DataFrame(rows, columns=["doc_id", "source", "n_tokens"])
+    ref["h"] = ref.doc_id.map(lambda v: hashlib.md5(str(v).encode()).hexdigest())
+    ref = ref.sort_values(["source", "h", "doc_id"])
+    cum = ref.groupby("source").n_tokens.cumsum()
+    ref["shard_id"] = ((cum - ref.n_tokens) // budget).astype("int64")
+    assert got.set_index("doc_id").shard_id.sort_index().equals(
+        ref.set_index("doc_id").shard_id.sort_index()
+    )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10**6), st.sampled_from("xy"), st.integers(-50, 50)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    buckets=st.sampled_from([1, 3, 16]),
+)
+def test_salted_agg_equals_direct_property(rows, buckets):
+    """For ANY grouped data and salt width: the two-stage salted
+    aggregation equals the direct groupBy exactly."""
+    from pyspark.sql import functions as F
+
+    spark = _get_spark()
+    from webdq import skew
+
+    df = spark.createDataFrame(rows, "id long, k string, v int")
+    out = skew.salted_agg(
+        df, ["k"],
+        {"n": ("count", None), "s": ("sum", "v"), "a": ("avg", "v"), "mx": ("max", "v")},
+        salt_on="id", salt_buckets=buckets,
+    )
+    direct = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+        F.avg("v").alias("a"), F.max("v").alias("mx"),
+    )
+    got = {r["k"]: (r["n"], r["s"], round(r["a"], 9), r["mx"]) for r in out.collect()}
+    want = {r["k"]: (r["n"], r["s"], round(r["a"], 9), r["mx"]) for r in direct.collect()}
+    assert got == want
