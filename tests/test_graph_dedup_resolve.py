@@ -136,3 +136,9 @@ def test_decontaminate_drop_mode(spark, contam_docs):
 def test_decontaminate_bad_mode_raises(spark, contam_docs):
     with pytest.raises(ValueError):
         dedup.decontaminate(contam_docs, contam_docs, mode="purge")
+
+
+def test_components_reject_string_ids(spark):
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        connected_components(e)

@@ -128,3 +128,8 @@ def test_sequence_pack_partition_invariant(docs):
 def test_sequence_pack_global_no_strata(docs):
     out = mixing.sequence_pack(docs, budget=1 << 60).toPandas()
     assert (out.shard_id == 0).all()
+
+
+def test_sequence_pack_bad_budget_raises(docs):
+    with pytest.raises(ValueError):
+        mixing.sequence_pack(docs, budget=0)

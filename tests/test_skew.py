@@ -83,3 +83,13 @@ def test_dedup_against_drop_matches_flag(delta_corpus):
     assert kept == {11, 12}
     with pytest.raises(ValueError):
         dedup.dedup_against(delta, corpus, mode="purge")
+
+
+def test_salted_agg_all_null_group(spark):
+    df = spark.createDataFrame(
+        [(0, "a", None), (1, "a", None), (2, "b", 3.0)], "id long, k string, v double"
+    )
+    out = {r["k"]: (r["n"], r["a"]) for r in
+           skew.salted_agg(df, ["k"], {"n": ("count", None), "a": ("avg", "v")},
+                           salt_on="id", salt_buckets=4).collect()}
+    assert out == {"a": (2, None), "b": (1, 3.0)}

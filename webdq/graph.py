@@ -63,6 +63,13 @@ def connected_components(
     else:
         nodes = nodes.select(F.col(nodes.columns[0]).alias(node_col))
 
+    # the monotone-sum convergence probe and min-label canonical both
+    # need a numeric id domain; a string id would cast to NULL decimal
+    # and fake convergence after one round — fail loudly instead
+    kind = dict(nodes.dtypes)[node_col]
+    if kind not in ("tinyint", "smallint", "int", "bigint", "float", "double") and not kind.startswith("decimal"):
+        raise ValueError(f"connected_components needs numeric node ids, got {kind!r}")
+
     lab = nodes.select(node_col, F.col(node_col).alias("lab")).localCheckpoint(eager=True)
     prev_sum = None
     converged = False

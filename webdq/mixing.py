@@ -113,6 +113,8 @@ def sequence_pack(
     (applyInPandasWithState) or per-stratum mapInPandas, not a window;
     contiguous sharding is what large pretraining loaders actually use
     (docs are split/bled across shard boundaries downstream anyway)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     strata = strata_cols or []
     order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
     w = Window.partitionBy(*strata).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)

@@ -66,7 +66,12 @@ def salted_agg(
         if fn == "avg":
             partials += [F.sum(col).alias(f"_s_{name}"), F.count(col).alias(f"_n_{name}")]
             merges += [F.sum(f"_s_{name}").alias(f"_s_{name}"), F.sum(f"_n_{name}").alias(f"_n_{name}")]
-            finals.append((F.col(f"_s_{name}") / F.col(f"_n_{name}")).alias(name))
+            # all-null group ⇒ n = 0: direct avg returns NULL; guard the
+            # division (ANSI mode turns x/0 into a runtime error)
+            finals.append(
+                F.when(F.col(f"_n_{name}") > 0, F.col(f"_s_{name}") / F.col(f"_n_{name}"))
+                .alias(name)
+            )
         else:
             part, merge, cast = _STAGE[fn]
             partials.append(part(col).alias(f"_p_{name}"))
