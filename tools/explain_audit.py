@@ -97,6 +97,10 @@ CHECKS = {
     "q68_salted_agg": ["partial_", "!Exchange SinglePartition"],
     # delta dedup: fingerprint equi-join, never an all-pairs product
     "q69_delta_dedup": ["!Cartesian", "!NestedLoop"],
+    # JSONL roundtrip: column pruning must reach the json scan — the
+    # unused `source` column is DROPPED from the declared schema
+    # (stronger than schema-as-declared), aggregation map-side combined
+    "q70_jsonl_source": ["ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>", "partial_"],
 }
 
 
