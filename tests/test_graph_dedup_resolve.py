@@ -142,3 +142,20 @@ def test_components_reject_string_ids(spark):
     e = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         connected_components(e)
+
+
+def test_components_reject_float_ids(spark):
+    # ADVICE r4: float labels can change by less than the decimal(38,0)
+    # probe granularity and fake convergence — reject them loudly
+    e = spark.createDataFrame([(1.5, 2.5)], "src double, dst double")
+    with pytest.raises(ValueError, match="integral"):
+        connected_components(e)
+
+
+def test_components_accept_decimal_scale0(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "src long, dst long").select(
+        F.col("src").cast("decimal(20,0)").alias("src"),
+        F.col("dst").cast("decimal(20,0)").alias("dst"),
+    )
+    got = {int(r["_id"]): int(r["component"]) for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

@@ -133,3 +133,18 @@ def test_sequence_pack_global_no_strata(docs):
 def test_sequence_pack_bad_budget_raises(docs):
     with pytest.raises(ValueError):
         mixing.sequence_pack(docs, budget=0)
+
+
+def test_stratified_nonstring_strata(spark):
+    # ADVICE r4: the rate table was built all-string; integer strata
+    # now join on the df's own type with no implicit cross-cast
+    rows = [(i, i % 2, 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang_id int, n_tokens int")
+    out = mixing.stratified_sample(df, ["lang_id"], {0: 0.5, 1: 0.1}, default_rate=0.0)
+    counts = {r["lang_id"]: r["n"] for r in out.groupBy("lang_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 25, 1: 5}
+
+
+def test_stratified_missing_stratum_column_raises(docs):
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        mixing.stratified_sample(docs, ["nope"], {"a": 0.5})

@@ -3,6 +3,8 @@ reference (webdq.rangejoin)."""
 
 import datetime
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -122,3 +124,14 @@ def test_sessionize_matches_naive(spark):
             want[eid_] = sess
             prev = ts
     assert got == want
+
+
+def test_interval_join_zero_width_raises(spark):
+    # ADVICE r4: sub-microsecond widths floored to w_us == 0 and died
+    # with an opaque divide-by-zero — loud ValueError instead
+    rows = spark.createDataFrame([(1, "2024-01-01 00:00:00")], "id long, ts string")
+    iv = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 01:00:00")], "t0 string, t1 string"
+    )
+    with pytest.raises(ValueError, match="microsecond"):
+        interval_join(rows, iv, "ts", "t0", "t1", bucket_width_s=1e-9)

@@ -93,3 +93,18 @@ def test_salted_agg_all_null_group(spark):
            skew.salted_agg(df, ["k"], {"n": ("count", None), "a": ("avg", "v")},
                            salt_on="id", salt_buckets=4).collect()}
     assert out == {"a": (2, None), "b": (1, 3.0)}
+
+
+def test_salted_sum_decimal_dtype_matches_direct(spark):
+    # ADVICE r4: decimal sums widened p+10 TWICE through the two
+    # stages; the merged sum is cast back to the direct result type
+    rows = [(i, "k" if i % 3 else "j", i) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, k string, v long").select(
+        "id", "k", F.col("v").cast("decimal(12,2)").alias("v")
+    )
+    direct = df.groupBy("k").agg(F.sum("v").alias("sv"))
+    salted = skew.salted_agg(df, ["k"], {"sv": ("sum", "v")}, salt_on="id")
+    assert dict(salted.dtypes)["sv"] == dict(direct.dtypes)["sv"] == "decimal(22,2)"
+    d = {r["k"]: r["sv"] for r in direct.collect()}
+    s = {r["k"]: r["sv"] for r in salted.collect()}
+    assert d == s

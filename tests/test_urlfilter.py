@@ -98,3 +98,19 @@ def test_empty_patterns_and_bad_mode(urls):
     assert all(not r["blocked_pattern"] for r in out.collect())
     with pytest.raises(ValueError):
         urlfilter.apply_url_filters(urls, mode="nuke")
+
+
+def test_null_url_parity_between_paths(spark):
+    # ADVICE r4: list path returned NULL blocked_domain for NULL urls
+    # (drop mode then silently dropped the row); both paths must
+    # coalesce to false
+    rows = [(0, None), (1, "https://ads.example.com/x")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    lst = urlfilter.domain_blocklist_flag(df, ["ads.example.com"], id_col="doc_id")
+    bl = spark.createDataFrame([("ads.example.com",)], "domain string")
+    dfp = urlfilter.domain_blocklist_flag(df, bl, id_col="doc_id")
+    for out in (lst, dfp):
+        got = {r["doc_id"]: r["blocked_domain"] for r in out.collect()}
+        assert got == {0: False, 1: True}
+    dropped = urlfilter.apply_url_filters(df, ["ads.example.com"], id_col="doc_id", mode="drop")
+    assert {r["doc_id"] for r in dropped.collect()} == {0}

@@ -65,10 +65,20 @@ def connected_components(
 
     # the monotone-sum convergence probe and min-label canonical both
     # need a numeric id domain; a string id would cast to NULL decimal
-    # and fake convergence after one round — fail loudly instead
+    # and fake convergence after one round — fail loudly instead.
+    # Floats are rejected too (ADVICE r4): the probe sums labels cast
+    # to decimal(38,0), so a fractional label decrease below the
+    # integer rounding granularity would vanish from the sum and a
+    # still-changing round could read as converged.
     kind = dict(nodes.dtypes)[node_col]
-    if kind not in ("tinyint", "smallint", "int", "bigint", "float", "double") and not kind.startswith("decimal"):
-        raise ValueError(f"connected_components needs numeric node ids, got {kind!r}")
+    integral = kind in ("tinyint", "smallint", "int", "bigint") or (
+        kind.startswith("decimal") and kind.rstrip(")").rsplit(",", 1)[-1] == "0"
+    )
+    if not integral:
+        raise ValueError(
+            f"connected_components needs integral node ids "
+            f"(int types or decimal scale 0), got {kind!r}"
+        )
 
     lab = nodes.select(node_col, F.col(node_col).alias("lab")).localCheckpoint(eager=True)
     prev_sum = None

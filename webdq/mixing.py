@@ -55,7 +55,11 @@ def stratified_sample(
     invariant, reproducible in any engine with md5. ``rates`` maps a
     stratum key (single value, or tuple matching ``strata_cols``) to
     its rate ≥ 0; absent strata use ``default_rate``. ``copy_col``:
-    optionally expose the 1-based copy index (upsampled epochs)."""
+    optionally expose the 1-based copy index (upsampled epochs).
+    Rate-key python values must be createDataFrame-compatible with the
+    stratum columns' Spark types (the rate table inherits them from
+    ``df.schema`` — ADVICE r4: an all-string rate table silently
+    cross-cast non-string strata in the equi-join)."""
     rate_rows = []
     for k, v in rates.items():
         key = k if isinstance(k, tuple) else (k,)
@@ -65,7 +69,15 @@ def stratified_sample(
             raise ValueError(f"rate for {k!r} must be >= 0, got {v}")
         rate_rows.append((*key, float(v)))
     spark = df.sparkSession
-    schema = ", ".join(f"`{c}` string" for c in strata_cols) + ", `_rate` double"
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    missing = [c for c in strata_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"strata columns {missing} not in DataFrame ({df.columns})")
+    schema = StructType(
+        [StructField(c, df.schema[c].dataType, True) for c in strata_cols]
+        + [StructField("_rate", DoubleType(), False)]
+    )
     rate_df = spark.createDataFrame(rate_rows, schema)
 
     w = Window.partitionBy(*strata_cols).orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))

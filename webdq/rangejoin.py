@@ -62,6 +62,10 @@ def interval_join(
     spans; pick ``bucket_width_s`` near the typical span so fanout
     stays ~2."""
     w_us = int(bucket_width_s * 1_000_000)
+    if w_us <= 0:
+        raise ValueError(
+            f"bucket_width_s must be >= 1 microsecond, got {bucket_width_s!r}"
+        )
     on = on or []
 
     r = rows.withColumn("_bkt", F.floor(_us(F.col(ts_col)) / F.lit(w_us)))

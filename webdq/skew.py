@@ -53,7 +53,13 @@ def salted_agg(
     input column; ignored for count). ``avg`` decomposes to sum+count
     and divides at merge (exact). ``salt_on`` names the row-level
     column whose hash spreads each key over ``salt_buckets`` partial
-    groups."""
+    groups.
+
+    Dtype parity: for decimal inputs ``sum`` is cast back to the
+    direct-groupBy result type (one p+10 widening, not the two-stage
+    p+20 — ADVICE r4). A decimal ``avg`` still carries the quotient
+    precision of sum(decimal)/count rather than Spark's single-stage
+    avg(decimal) precision; values match, the decimal dtype may not."""
     for name, (fn, _c) in spec.items():
         if fn not in (*_STAGE, "avg"):
             raise ValueError(f"unsupported agg {fn!r} for {name!r} (algebraic only)")
@@ -74,6 +80,15 @@ def salted_agg(
             )
         else:
             part, merge, cast = _STAGE[fn]
+            if fn == "sum" and cast is None and isinstance(col, str) and col in df.columns:
+                # decimal sum widens precision by 10 per aggregation
+                # stage; cast the merge back to the DIRECT aggregate's
+                # result type so the two-stage output dtype matches
+                from pyspark.sql.types import DecimalType
+
+                dt = df.schema[col].dataType
+                if isinstance(dt, DecimalType):
+                    cast = f"decimal({min(38, dt.precision + 10)},{dt.scale})"
             partials.append(part(col).alias(f"_p_{name}"))
             m = merge(f"_p_{name}")
             merges.append((m.cast(cast) if cast else m).alias(f"_m_{name}"))

@@ -67,8 +67,17 @@ def domain_blocklist_flag(
     if not isinstance(blocklist, DataFrame):
         bad = sorted({str(d).lower() for d in blocklist})
         # all-literal array → constant-folded once by Catalyst; the
-        # overlap test stays inside whole-stage codegen
-        return df.withColumn(out, F.arrays_overlap(sfx, F.array(*[F.lit(d) for d in bad])))
+        # overlap test stays inside whole-stage codegen. coalesce: a
+        # NULL url yields a NULL suffix chain and arrays_overlap would
+        # return NULL — the DataFrame-blocklist path coalesces to
+        # false, so this path must too (ADVICE r4: mode='drop' was
+        # silently dropping NULL-url rows here).
+        return df.withColumn(
+            out,
+            F.coalesce(
+                F.arrays_overlap(sfx, F.array(*[F.lit(d) for d in bad])), F.lit(False)
+            ),
+        )
     bl = blocklist.select(F.lower(F.col(blocklist.columns[0])).alias("_bad")).dropDuplicates()
     hit = (
         df.select(F.col(id_col).alias("_uid"), F.explode(sfx).alias("_bad"))
