@@ -213,7 +213,7 @@ def _record_window(res: dict) -> dict:
         rec = {"calibration": {"1to4": 0.98, "2to8": 0.96, "4to16": 0.80, "8to32": 0.72}}
     import datetime
 
-    rec[res["window"]] = {
+    new = {
         "n_docs": res["n_docs"],
         "rounds": res["rounds"],
         "masters": [res["n"]["master"], res["4n"]["master"]],
@@ -224,6 +224,19 @@ def _record_window(res: dict) -> dict:
         "efficiency_median": round(res["scaling_efficiency_median"], 3),
         "measured": datetime.date.today().isoformat(),
     }
+    # Evidence-weight guard: a window's standing record is the run with
+    # the most doc-rounds of evidence (n_docs × rounds) — NOT the best
+    # outcome (that would be optional stopping). A smoke run with tiny
+    # WEBDQ_BENCH_DOCS can therefore never clobber a full record; its
+    # result is still kept visibly under the record's "latest_run".
+    old = rec.get(res["window"])
+    if old and old.get("n_docs", 0) * old.get("rounds", 0) > new["n_docs"] * new["rounds"]:
+        old["latest_run"] = {
+            k: new[k]
+            for k in ("n_docs", "rounds", "efficiency_best", "efficiency_median", "measured")
+        }
+    else:
+        rec[res["window"]] = new
     with open(path, "w") as f:
         json.dump(rec, f, indent=2)
     return rec
