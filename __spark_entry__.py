@@ -1811,6 +1811,49 @@ def q67_quality_classifier(spark, sf_dir):
     return out.select("url", F.round("prob", 4).alias("prob"), "pred")
 
 
+def q67b_classifier_portable(spark, sf_dir):
+    """Value-exact oracle for the classifier INFERENCE path (VERDICT r4
+    #3): portable md5-bucketed hashed features (classifier.
+    hashed_features(portable=True) — ('0x'||substr(md5,1,15))::BIGINT
+    in DuckDB reproduces Spark's conv(substring(md5,1,15),16,10)
+    bit-for-bit) scored by classifier.predict under a FORMULA-FROZEN
+    weight vector w[j] = (j mod 97)/97 − 0.5, bias 0.1 that both
+    engines can rebuild arithmetically. This closes the featurize →
+    score hot path with a hash-exact check; the training math itself
+    (not SQL-expressible) keeps its numpy-GD-parity pytest gate and
+    the rows-only q67."""
+    import numpy as np
+
+    from webdq import classifier
+
+    dim = 1024
+    docs = _t(spark, sf_dir, "documents")
+    feats = classifier.hashed_features(docs, dim=dim, portable=True)
+    w = (np.arange(dim, dtype=np.float64) % 97) / 97.0 - 0.5
+    model = classifier.LogRegModel(dim=dim, weights=w, bias=0.1)
+    out = classifier.predict(feats, model)
+    return out.select("doc_id", F.round("prob", 6).alias("prob"), "pred")
+
+
+SQL_67B = r"""
+WITH tok AS (SELECT doc_id,
+                    unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS g
+             FROM documents),
+ ex AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS b
+        FROM tok WHERE g <> ''),
+ cnt AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c FROM ex GROUP BY doc_id, b),
+ tot AS (SELECT doc_id, sum(c) AS t FROM cnt GROUP BY doc_id),
+ z AS (SELECT cnt.doc_id,
+              sum(((cnt.b % 97) / 97.0 - 0.5) * (cnt.c / tot.t)) + 0.1 AS z
+       FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-z)), 6) AS prob,
+       CAST(1.0 / (1.0 + exp(-z)) >= 0.5 AS INTEGER) AS pred
+FROM z
+"""
+
+
 def q68_salted_agg(spark, sf_dir):
     """Skew-defusing two-stage aggregation (the explicit form of the
     north rule's salted repartitioning): events aggregated by
@@ -2146,6 +2189,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_build_vocab": q65_build_vocab,
     "q66_oov_stats": q66_oov_stats,
     "q67_quality_classifier": q67_quality_classifier,
+    "q67b_classifier_portable": q67b_classifier_portable,
     "q68_salted_agg": q68_salted_agg,
     "q69_delta_dedup": q69_delta_dedup,
     "q70_jsonl_source": q70_jsonl_source,
@@ -2224,6 +2268,7 @@ _ORACLES: dict[str, str] = {
     "q64_url_filter": SQL_64,
     "q65_build_vocab": SQL_65,
     "q66_oov_stats": SQL_66,
+    "q67b_classifier_portable": SQL_67B,
     "q68_salted_agg": SQL_68,
     "q69_delta_dedup": SQL_69,
     "q70_jsonl_source": SQL_70,

@@ -122,3 +122,33 @@ def test_tier_quality_head_accuracy(spark):
     acc = out.filter(F.col("pred") == F.col("label")).count() / out.count()
     feats.unpersist()
     assert acc >= 0.95
+
+
+def test_portable_features_match_python_md5(spark):
+    # portable=True buckets by the first 15 md5 hex digits — recompute
+    # the buckets and L1 values in plain python and compare exactly
+    import hashlib
+
+    rows = [(1, "aa bb aa cc"), (2, "bb"), (3, None), (4, "  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dim = 64
+    got = {
+        r["doc_id"]: (list(r["buckets"]), list(r["vals"]))
+        for r in classifier.hashed_features(df, dim=dim, portable=True).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % dim
+
+    for doc_id, text in rows:
+        toks = [t for t in (text or "").strip().split() if t]
+        if not toks:
+            assert doc_id not in got
+            continue
+        counts = {}
+        for t in toks:
+            counts[bucket(t)] = counts.get(bucket(t), 0) + 1
+        total = float(len(toks))
+        want_b = sorted(counts)
+        want_v = [counts[b] / total for b in want_b]
+        assert got[doc_id] == (want_b, want_v)

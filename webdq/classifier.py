@@ -52,11 +52,18 @@ def hashed_features(
     text_col: str = "text",
     dim: int = 1 << 15,
     ngram_ns: tuple = (1,),
+    portable: bool = False,
 ) -> DataFrame:
     """(id, buckets:array<int>, vals:array<double>) — hashed
     bag-of-n-grams, L1-normalized per document (fastText averages
     token vectors; the linear model absorbs any fixed scaling).
-    Buckets are sorted ascending (deterministic layout)."""
+    Buckets are sorted ascending (deterministic layout).
+
+    ``portable=True`` buckets by the first 15 hex digits of md5(gram)
+    (60 bits, signed-long safe) instead of xxhash64 — bit-identical in
+    any engine with md5 (DuckDB: ``('0x'||substr(md5(g),1,15))::BIGINT``),
+    the same cross-engine pattern as dedup.simhash64_portable. xxhash64
+    stays the default: one JVM hash beats a hex md5 round-trip."""
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     grams = []
     for n in ngram_ns:
@@ -76,10 +83,14 @@ def hashed_features(
                 )
             )
     allg = grams[0] if len(grams) == 1 else F.concat(*grams)
+    if portable:
+        h = F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("_g")
     ex = (
         df.select(F.col(id_col).alias("_fid"), F.explode(allg).alias("_g"))
         .filter(F.col("_g") != "")
-        .withColumn("_b", F.pmod(F.xxhash64("_g"), F.lit(int(dim))).cast("int"))
+        .withColumn("_b", F.pmod(h, F.lit(int(dim))).cast("int"))
     )
     per = ex.groupBy("_fid", "_b").agg(F.count(F.lit(1)).cast("double").alias("_c"))
     rows = per.groupBy("_fid").agg(
