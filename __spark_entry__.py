@@ -1965,6 +1965,49 @@ FROM documents GROUP BY lang
 """
 
 
+def q71_bbox_join(spark, sf_dir):
+    """2-D bbox containment join (webdq.rangejoin.bbox_join) — the
+    same-dimensionality analog of the reference's ST_Intersects
+    point-in-polygon theta join (/root/reference/osmdq/
+    geom_tasks.py:201-215): orders become points (x = o_totalprice,
+    y = integer epoch-day of o_orderdate), nation rows parameterize 25
+    overlapping rectangles arithmetically (both engines rebuild the
+    same boxes, so the oracle is a plain 4-edge inequality join).
+    Executed as a bounded-fanout grid-cell EQUI-join + refine — no
+    Cartesian/NestedLoop (plan-audited)."""
+    from webdq.rangejoin import _us, bbox_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("x"),
+        F.floor(_us(F.col("o_orderdate")) / F.lit(86_400_000_000)).cast("double").alias("y"),
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("box_id"),
+        (F.col("n_nationkey") * 20000.0).alias("xmin"),
+        (F.col("n_nationkey") * 20000.0 + 60000.0).alias("xmax"),
+        (F.col("n_nationkey") * 90.0 + 8000.0).alias("ymin"),
+        (F.col("n_nationkey") * 90.0 + 8600.0).alias("ymax"),
+    )
+    out = bbox_join(o, n, "x", "y", cell_w=25000.0, cell_h=365.0, max_span_cells=64)
+    return out.select("o_orderkey", "box_id", "x", "y")
+
+
+SQL_71 = """
+WITH p AS (SELECT o_orderkey,
+                  CAST(o_totalprice AS DOUBLE) AS x,
+                  CAST(floor(epoch_us(o_orderdate) / 86400000000) AS DOUBLE) AS y
+           FROM orders),
+ b AS (SELECT n_nationkey AS box_id,
+              n_nationkey * 20000.0 AS xmin, n_nationkey * 20000.0 + 60000.0 AS xmax,
+              n_nationkey * 90.0 + 8000.0 AS ymin, n_nationkey * 90.0 + 8600.0 AS ymax
+       FROM nation)
+SELECT p.o_orderkey, b.box_id, p.x, p.y
+FROM p JOIN b
+  ON p.x >= b.xmin AND p.x <= b.xmax AND p.y >= b.ymin AND p.y <= b.ymax
+"""
+
+
 def q49_partitioned_layout(spark, sf_dir):
     """Partitioned-layout roundtrip (the S4-family layout operator at
     scale): documents → hive-partitioned parquet by (source, lang) →
@@ -2193,6 +2236,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_salted_agg": q68_salted_agg,
     "q69_delta_dedup": q69_delta_dedup,
     "q70_jsonl_source": q70_jsonl_source,
+    "q71_bbox_join": q71_bbox_join,
     "q29_minhash_lsh_pairs": q29_minhash_lsh_pairs,
     "q45_pipeline_summary": q45_pipeline_summary,
     "q17_datemath": q17_datemath,
@@ -2272,6 +2316,7 @@ _ORACLES: dict[str, str] = {
     "q68_salted_agg": SQL_68,
     "q69_delta_dedup": SQL_69,
     "q70_jsonl_source": SQL_70,
+    "q71_bbox_join": SQL_71,
 }
 
 

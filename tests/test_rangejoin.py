@@ -135,3 +135,71 @@ def test_interval_join_zero_width_raises(spark):
     )
     with pytest.raises(ValueError, match="microsecond"):
         interval_join(rows, iv, "ts", "t0", "t1", bucket_width_s=1e-9)
+
+
+def test_bbox_join_matches_naive(spark):
+    import random
+
+    from webdq.rangejoin import bbox_join
+
+    rng = random.Random(7)
+    pts = [(i, rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(300)]
+    boxes = [
+        (j, *(sorted((rng.uniform(0, 100), rng.uniform(0, 100)))), 0.0, 0.0)
+        for j in range(40)
+    ]
+    # rebuild boxes with independent y ranges
+    boxes = []
+    for j in range(40):
+        x0, x1 = sorted((rng.uniform(0, 100), rng.uniform(0, 100)))
+        y0, y1 = sorted((rng.uniform(0, 100), rng.uniform(0, 100)))
+        boxes.append((j, x0, x1, y0, y1))
+    p = spark.createDataFrame(pts, "pid long, x double, y double")
+    b = spark.createDataFrame(boxes, "bid long, xmin double, xmax double, ymin double, ymax double")
+    got = {
+        (r["pid"], r["bid"])
+        for r in bbox_join(p, b, "x", "y", cell_w=13.0, cell_h=17.0).collect()
+    }
+    want = {
+        (i, j)
+        for (i, x, y) in pts
+        for (j, x0, x1, y0, y1) in boxes
+        if x0 <= x <= x1 and y0 <= y <= y1
+    }
+    assert got == want and len(want) > 100
+
+
+def test_bbox_join_boundary_inclusive_and_degenerate(spark):
+    from webdq.rangejoin import bbox_join
+
+    p = spark.createDataFrame([(1, 10.0, 20.0)], "pid long, x double, y double")
+    b = spark.createDataFrame(
+        [
+            (1, 10.0, 10.0, 20.0, 20.0),   # zero-area box exactly on the point
+            (2, 0.0, 10.0, 0.0, 20.0),     # point on the max edges
+            (3, 10.0, 30.0, 20.0, 40.0),   # point on the min edges
+            (4, 11.0, 9.0, 0.0, 40.0),     # inverted x range: matches nothing
+        ],
+        "bid long, xmin double, xmax double, ymin double, ymax double",
+    )
+    got = sorted(
+        r["bid"] for r in bbox_join(p, b, "x", "y", cell_w=5.0, cell_h=5.0).collect()
+    )
+    assert got == [1, 2, 3]
+
+
+def test_bbox_join_span_guard_and_bad_cell(spark):
+    from webdq.rangejoin import bbox_join
+
+    p = spark.createDataFrame([(1, 50.0, 50.0)], "pid long, x double, y double")
+    b = spark.createDataFrame(
+        [(1, 0.0, 100.0, 0.0, 100.0), (2, 49.0, 51.0, 49.0, 51.0)],
+        "bid long, xmin double, xmax double, ymin double, ymax double",
+    )
+    got = [
+        r["bid"]
+        for r in bbox_join(p, b, "x", "y", cell_w=2.0, cell_h=2.0, max_span_cells=100).collect()
+    ]
+    assert got == [2]  # the 51x51-cell box is dropped by the guard
+    with pytest.raises(ValueError, match="cell_w"):
+        bbox_join(p, b, "x", "y", cell_w=0.0)

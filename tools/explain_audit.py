@@ -101,6 +101,9 @@ CHECKS = {
     # unused `source` column is DROPPED from the declared schema
     # (stronger than schema-as-declared), aggregation map-side combined
     "q70_jsonl_source": ["ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>", "partial_"],
+    # 2-D bbox containment join: grid-cell EQUI-join + 4-edge refine,
+    # never a nested-loop/cartesian theta join
+    "q71_bbox_join": ["!Cartesian", "!NestedLoop"],
 }
 
 
