@@ -449,6 +449,15 @@ GROUP BY user_id
 # --------------------------------------------------------------------------
 
 def q16_canonicalize(spark, sf_dir):
+    # INTENTIONAL deviation from the reference quirk (VERDICT r4 #4):
+    # extract_user_editor.py:36-48 keeps [\sa-zA-Z4_\.] — the literal
+    # digit '4' (an editor-name artifact: "JOSM4"-era tokens) and
+    # uppercase, applied AFTER lower() so the A-Z range is dead code.
+    # We canonicalize with the full digit range [a-z0-9 _\.]: lower()
+    # makes uppercase unreachable either way, and keeping only '4'
+    # would drop every other digit from web tokens (utf8, 2024, ...).
+    # Oracle SQL mirrors this pattern exactly, so the check is
+    # self-consistent by construction.
     p = _t(spark, sf_dir, "part")
     def canon(col):
         return F.trim(F.regexp_extract(F.translate(F.lower(col), "!?#~,()[]+", "          "), r"([a-z0-9 _\.]+).*", 1))
@@ -2008,6 +2017,52 @@ FROM p JOIN b
 """
 
 
+def q72_silhouette(spark, sf_dir):
+    """Sampled silhouette as a contract query (VERDICT r4 #6;
+    reference diagnostic at /root/reference/osmdq/
+    unsupervised_learning.py:430-469). ml.silhouette_sampled with the
+    engine-portable md5-ordered sample over a RULE-BASED clustering
+    (cluster = doc_id mod 3, features = (n_chars, doc_id mod 7)) that
+    DuckDB rebuilds arithmetically — the oracle replays the exact
+    sample and the full O(n²) silhouette (pairwise distances → a =
+    own-cluster mean, b = min other-cluster mean) as a SQL self-join,
+    value-checking the driver's numpy math end-to-end. KMeans-derived
+    clusterings keep their pytest gates (blob recovery, F1)."""
+    from webdq import ml
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("int").alias("cluster"),
+        F.col("n_chars").cast("double").alias("f1"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("double").alias("f2"),
+    )
+    s = ml.silhouette_sampled(
+        docs, ["f1", "f2"], "cluster", "doc_id", sample_n=400, hash="md5"
+    )
+    return spark.createDataFrame([(round(s, 6),)], "silhouette double")
+
+
+SQL_72 = """
+WITH s AS (SELECT doc_id,
+                  CAST(doc_id % 3 AS INT) AS c,
+                  CAST(n_chars AS DOUBLE) AS f1,
+                  CAST(doc_id % 7 AS DOUBLE) AS f2
+           FROM documents
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 400),
+ d AS (SELECT a.doc_id AS i, a.c AS ci, b.c AS cj,
+              sqrt((a.f1 - b.f1) * (a.f1 - b.f1) + (a.f2 - b.f2) * (a.f2 - b.f2)) AS dist
+       FROM s a JOIN s b ON a.doc_id <> b.doc_id),
+ m AS (SELECT i, ci, cj, avg(dist) AS md FROM d GROUP BY i, ci, cj),
+ ab AS (SELECT i,
+               coalesce(max(CASE WHEN cj = ci THEN md END), 0.0) AS a,
+               min(CASE WHEN cj <> ci THEN md END) AS b
+        FROM m GROUP BY i)
+SELECT round(avg(CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b) ELSE 0.0 END), 6)
+       AS silhouette
+FROM ab
+"""
+
+
 def q49_partitioned_layout(spark, sf_dir):
     """Partitioned-layout roundtrip (the S4-family layout operator at
     scale): documents → hive-partitioned parquet by (source, lang) →
@@ -2237,6 +2292,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_delta_dedup": q69_delta_dedup,
     "q70_jsonl_source": q70_jsonl_source,
     "q71_bbox_join": q71_bbox_join,
+    "q72_silhouette": q72_silhouette,
     "q29_minhash_lsh_pairs": q29_minhash_lsh_pairs,
     "q45_pipeline_summary": q45_pipeline_summary,
     "q17_datemath": q17_datemath,
@@ -2317,6 +2373,7 @@ _ORACLES: dict[str, str] = {
     "q69_delta_dedup": SQL_69,
     "q70_jsonl_source": SQL_70,
     "q71_bbox_join": SQL_71,
+    "q72_silhouette": SQL_72,
 }
 
 

@@ -98,6 +98,18 @@ def test_silhouette(spark):
     assert s > 0.8  # well-separated blobs
 
 
+def test_silhouette_md5_order_full_sample_invariant(spark):
+    # when sample_n covers the whole frame, the sample ORDER cannot
+    # matter — the portable md5 ordering and the default xxhash64
+    # ordering must produce the identical silhouette
+    df, _, _ = _blob_df(spark)
+    out = ml.kmeans_assign(df, ["a", "b", "c"], np.array([[0, 0, 0], [10, 10, 0], [0, 10, 10]], dtype=float))
+    n = out.count()
+    a = ml.silhouette_sampled(out, ["a", "b", "c"], "cluster", "key", sample_n=n + 10)
+    b = ml.silhouette_sampled(out, ["a", "b", "c"], "cluster", "key", sample_n=n + 10, hash="md5")
+    assert a == b
+
+
 def test_fit_scaled_pca_equals_two_pass(spark):
     df, X, _ = _blob_df(spark)
     cols = ["a", "b", "c"]

@@ -98,11 +98,15 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.01"
-    for i, a in enumerate(sys.argv):
+    args = []
+    skip = set()
+    for i, a in enumerate(sys.argv[1:], start=1):
         if a == "--sf":
             sf_dir = sys.argv[i + 1]
+            skip.add(i + 1)
+        elif not a.startswith("--") and i not in skip:
+            args.append(a)
 
     e = load_entry()
     qs = e.queries()

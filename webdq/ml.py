@@ -471,12 +471,27 @@ def auto_kmeans(
     return best, models
 
 
-def silhouette_sampled(df: DataFrame, cols: list[str], cluster_col: str, key_col: str, sample_n: int = 2000) -> float:
+def silhouette_sampled(
+    df: DataFrame,
+    cols: list[str],
+    cluster_col: str,
+    key_col: str,
+    sample_n: int = 2000,
+    hash: str = "xxhash64",
+) -> float:
     """Diagnostic sampled silhouette (reference caps at 2000 rows,
     /root/reference/osmdq/unsupervised_learning.py:22). Deterministic
-    hash-ordered sample; numpy on the driver."""
+    hash-ordered sample; numpy on the driver. ``hash='md5'`` orders
+    the sample by the md5 hex digest of the key instead of xxhash64 —
+    engine-portable, so an external oracle can replay the exact sample
+    (the q72 cross-check); xxhash64 stays the cheaper default."""
+    h = (
+        F.md5(F.col(key_col).cast("string"))
+        if hash == "md5"
+        else F.xxhash64(F.col(key_col))
+    )
     samp = (
-        df.select(F.xxhash64(F.col(key_col)).alias("_h"), F.col(cluster_col).alias("_c"), *cols)
+        df.select(h.alias("_h"), F.col(cluster_col).alias("_c"), *cols)
         .orderBy("_h")
         .limit(sample_n)
         .collect()
