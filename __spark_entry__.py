@@ -2220,6 +2220,114 @@ FROM pts p LEFT JOIN comp ON comp.id = p.id LEFT JOIN border ON border.id = p.id
 #   q37 PPM/WAV      → codec family keeps q48 (JPEG) + q53 (PNG)
 #   q45 summary      → rows-only by construction (pytest partition-
 #                      invariance gate); oracled rows take the slot
+def q73_tfidf(spark, sf_dir):
+    """Per-(doc, term) TF-IDF weights (webdq.textprep.tfidf) with the
+    sklearn smooth-idf convention ln((1+N)/(1+df))+1 — the sparse
+    featurization step between text prep and classical-ML training.
+    Exercises the bounded-vocabulary scale path (min_df=2 +
+    max_vocab=20 TopK by (df desc, token) → broadcast vocab join);
+    DuckDB replays tokenize → tf → df → idf arithmetic exactly."""
+    from webdq import textprep
+
+    out = textprep.tfidf(
+        _t(spark, sf_dir, "documents"), min_df=2, max_vocab=20
+    )
+    return out.select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.round("idf", 6).alias("idf"),
+        F.round("tfidf", 6).alias("tfidf"),
+    )
+
+
+SQL_73 = r"""
+WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents),
+ tf AS (SELECT doc_id, token, count(*) AS tf FROM tk WHERE token <> ''
+        GROUP BY doc_id, token),
+ dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token HAVING count(*) >= 2
+         ORDER BY df DESC, token LIMIT 20),
+ n AS (SELECT count(*) AS n FROM documents)
+SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf, CAST(dfq.df AS BIGINT) AS df,
+       round(ln((1.0 + n.n) / (1.0 + dfq.df)) + 1.0, 6) AS idf,
+       round(tf.tf * (ln((1.0 + n.n) / (1.0 + dfq.df)) + 1.0), 6) AS tfidf
+FROM tf JOIN dfq USING (token) CROSS JOIN n
+"""
+
+
+def q74_host_quota(spark, sf_dir):
+    """C4/RefinedWeb-style per-host document cap: keep the top-3 docs
+    per host by n_chars, ties by md5(doc_id) — deterministic and
+    partition-invariant (webdq.mixing.host_quota). Runs the SALTED
+    two-stage TopK (n_salt=4: per-(host, salt) truncation before the
+    exact per-host window), which is the shape that survives a
+    hostile 10^9-page host; the oracle is the single-stage DuckDB
+    window over the full data, so the value-exact match PROVES the
+    two-stage rewrite exact. Reference analog: per-user top-N recode
+    (SURVEY.md §2 P6) applied at the host level."""
+    from webdq import mixing
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example")).alias("host"),
+        "n_chars",
+    )
+    return mixing.host_quota(
+        d, host_col="host", k=3, order_col="n_chars", id_col="doc_id",
+        n_salt=4, rank_col="host_rank",
+    )
+
+
+SQL_74 = """
+SELECT doc_id, host, n_chars, CAST(rn AS INT) AS host_rank
+FROM (SELECT doc_id, source || '.example' AS host, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC,
+                                         md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+WHERE rn <= 3
+"""
+
+
+def q75_winsorize(spark, sf_dir):
+    """Corpus-wide winsorization of quality features: clip to the
+    exact [p05, p95] percentiles, both bounds from ONE single-row
+    aggregate broadcast back via crossJoin (webdq.normalize.winsorize
+    — the outlier guard applied to heuristic features before they
+    feed normalization/ML). Spark exact percentile ≡ DuckDB
+    quantile_cont (linear interpolation)."""
+    from webdq import normalize
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.pmod(F.col("doc_id"), F.lit(101)).cast("double").alias("f2"),
+    )
+    out = normalize.winsorize(d, ["n_chars", "f2"], lower=0.05, upper=0.95)
+    return out.select(
+        "doc_id",
+        F.round("n_chars_w", 6).alias("n_chars_w"),
+        F.round("f2_w", 6).alias("f2_w"),
+    )
+
+
+SQL_75 = """
+WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo1, quantile_cont(n_chars, 0.95) AS hi1,
+                  quantile_cont(CAST(doc_id % 101 AS DOUBLE), 0.05) AS lo2,
+                  quantile_cont(CAST(doc_id % 101 AS DOUBLE), 0.95) AS hi2
+           FROM documents)
+SELECT doc_id,
+       round(CASE WHEN n_chars < lo1 THEN lo1 WHEN n_chars > hi1 THEN hi1
+                  ELSE n_chars END, 6) AS n_chars_w,
+       round(CASE WHEN f2 < lo2 THEN lo2 WHEN f2 > hi2 THEN hi2
+                  ELSE f2 END, 6) AS f2_w
+FROM (SELECT doc_id, n_chars, CAST(doc_id % 101 AS DOUBLE) AS f2 FROM documents)
+CROSS JOIN b
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_quality_pipeline": q00_quality_pipeline,
     "q01_latest_version": q01_latest_version,
@@ -2302,6 +2410,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_simhash16": q30_simhash16,
     "q36_lsh_ann": q36_lsh_ann,
     "q37_multimodal_decode": q37_multimodal_decode,
+    "q73_tfidf": q73_tfidf,
+    "q74_host_quota": q74_host_quota,
+    "q75_winsorize": q75_winsorize,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2374,6 +2485,9 @@ _ORACLES: dict[str, str] = {
     "q70_jsonl_source": SQL_70,
     "q71_bbox_join": SQL_71,
     "q72_silhouette": SQL_72,
+    "q73_tfidf": SQL_73,
+    "q74_host_quota": SQL_74,
+    "q75_winsorize": SQL_75,
 }
 
 

@@ -148,3 +148,58 @@ def test_stratified_nonstring_strata(spark):
 def test_stratified_missing_stratum_column_raises(docs):
     with pytest.raises(ValueError, match="not in DataFrame"):
         mixing.stratified_sample(docs, ["nope"], {"a": 0.5})
+
+# ---- host_quota ----
+
+def _naive_quota(docs_pd: pd.DataFrame, k: int) -> set:
+    """Single-stage reference: top-k per host by (n_tokens desc, md5(id), id)."""
+    d = docs_pd.copy()
+    d["_m"] = d["doc_id"].map(_md5)
+    d = d.sort_values(["source", "n_tokens", "_m", "doc_id"], ascending=[True, False, True, True])
+    return set(d.groupby("source").head(k)["doc_id"])
+
+
+def test_host_quota_matches_single_stage_reference(docs):
+    pd_docs = docs.toPandas()
+    for k in (1, 3, 7):
+        out = mixing.host_quota(
+            docs, host_col="source", k=k, order_col="n_tokens", id_col="doc_id"
+        )
+        assert set(r["doc_id"] for r in out.collect()) == _naive_quota(pd_docs, k)
+
+
+def test_host_quota_salted_two_stage_exact(docs):
+    """The salted TopK (stage-one truncation per (host, salt)) must be
+    EXACTLY the single-stage result — the union of per-salt top-k
+    contains the global per-host top-k."""
+    plain = mixing.host_quota(
+        docs, host_col="source", k=5, order_col="n_tokens", id_col="doc_id", rank_col="r"
+    )
+    salted = mixing.host_quota(
+        docs, host_col="source", k=5, order_col="n_tokens", id_col="doc_id",
+        n_salt=4, rank_col="r",
+    )
+    a = sorted(map(tuple, plain.select("doc_id", "r").collect()))
+    b = sorted(map(tuple, salted.select("doc_id", "r").collect()))
+    assert a == b
+
+
+def test_host_quota_partition_invariant(docs):
+    base = set(
+        r["doc_id"]
+        for r in mixing.host_quota(docs, host_col="source", k=4, id_col="doc_id").collect()
+    )
+    rep = set(
+        r["doc_id"]
+        for r in mixing.host_quota(
+            docs.repartition(13), host_col="source", k=4, id_col="doc_id", n_salt=3
+        ).collect()
+    )
+    assert base == rep
+
+
+def test_host_quota_rejects_bad_args(docs):
+    with pytest.raises(ValueError):
+        mixing.host_quota(docs, host_col="source", k=0)
+    with pytest.raises(ValueError):
+        mixing.host_quota(docs, host_col="source", k=2, n_salt=0)

@@ -109,3 +109,34 @@ def test_ecdf_reprobe_path_exact(spark):
     for c in cols:
         out = "u_" + c.removeprefix("n_")
         np.testing.assert_allclose(fast[out], naive[out], rtol=1e-12, err_msg=out)
+
+
+# ---- winsorize ----
+
+def test_winsorize_matches_numpy(spark):
+    import numpy as np
+    import pytest
+
+    from webdq import normalize
+
+    vals = [(i, float((i * 37) % 211), (i * 13) % 97) for i in range(500)]
+    df = spark.createDataFrame(vals, "id long, a double, b long")
+    out = normalize.winsorize(df, ["a", "b"], 0.1, 0.9).toPandas().sort_values("id")
+    a = np.array([v[1] for v in vals])
+    b = np.array([v[2] for v in vals], dtype=float)
+    for col, arr in (("a", a), ("b", b)):
+        lo, hi = np.percentile(arr, [10, 90], method="linear")
+        np.testing.assert_allclose(out[col + "_w"], np.clip(arr, lo, hi), rtol=1e-12)
+    with pytest.raises(ValueError):
+        normalize.winsorize(df, ["a"], 0.9, 0.1)
+
+
+def test_winsorize_null_passthrough(spark):
+    from webdq import normalize
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 100.0), (3, 50.0), (4, 2.0)], "id long, a double"
+    )
+    out = {r["id"]: r["a_w"] for r in normalize.winsorize(df, ["a"], 0.25, 0.75).collect()}
+    assert out[1] is None  # null survives the clip (CASE, not least/greatest)
+    assert out[3] == 50.0

@@ -210,3 +210,37 @@ def test_oov_stats_match_python(spark):
     # rate consistency
     for r in textprep.oov_stats(d, vocab).collect():
         assert abs(r["oov_rate"] - r["n_oov"] / r["n_tokens"]) < 1e-12
+
+
+# ---- tfidf ----
+
+def test_tfidf_matches_numpy_reference(spark):
+    import math
+
+    docs = _docs(spark)
+    out = textprep.tfidf(docs, min_df=1).toPandas()
+    raw = {r["doc_id"]: [t for t in r["text"].strip().split() if t] for r in docs.collect()}
+    n = len(raw)
+    dfreq = {}
+    for toks in raw.values():
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    assert len(out) == sum(len(set(t)) for t in raw.values())
+    for _, r in out.iterrows():
+        toks = raw[r["doc_id"]]
+        assert r["tf"] == toks.count(r["token"])
+        assert r["df"] == dfreq[r["token"]]
+        idf = math.log((1 + n) / (1 + dfreq[r["token"]])) + 1.0
+        assert abs(r["idf"] - idf) < 1e-12
+        assert abs(r["tfidf"] - r["tf"] * idf) < 1e-12
+
+
+def test_tfidf_vocab_bounds(spark):
+    docs = _docs(spark)
+    # every token of the fixture is unique to its doc → min_df=2 empties
+    assert textprep.tfidf(docs, min_df=2).count() == 0
+    # max_vocab TopK: all df=1, so the (df desc, token) order is lexical
+    out = textprep.tfidf(docs, min_df=1, max_vocab=5).toPandas()
+    assert set(out["token"]) == {"a", "b", "brown", "c", "d"}
+    # tf preserved through the bounded join ("the" is out, fox is out)
+    assert out[out["token"] == "a"]["tf"].iloc[0] == 1

@@ -104,6 +104,17 @@ CHECKS = {
     # 2-D bbox containment join: grid-cell EQUI-join + 4-edge refine,
     # never a nested-loop/cartesian theta join
     "q71_bbox_join": ["!Cartesian", "!NestedLoop"],
+    # tf-idf: the max_vocab-bounded term table must BROADCAST into the
+    # tf join (TopK before the join, not a shuffle of the tf table);
+    # tf/df aggregations map-side combined
+    "q73_tfidf": ["BroadcastHashJoin", "TakeOrderedAndProject", "partial_", "!Cartesian"],
+    # per-host quota: documents scan prunes to the 3 used columns;
+    # no single-partition exchange (windows partition by host)
+    "q74_host_quota": ["ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>", "!Exchange SinglePartition"],
+    # winsorize: ONE single-row percentile aggregate broadcast back —
+    # the clip join must be a broadcast nested loop over a 1-row build
+    # side (constant, not data×data), never a shuffled join
+    "q75_winsorize": ["BroadcastNestedLoopJoin", "!SortMergeJoin"],
 }
 
 

@@ -133,3 +133,55 @@ def sequence_pack(
     toks = F.col(tokens_col).cast("long")
     cum = F.sum(toks).over(w)
     return df.withColumn(out, F.floor((cum - toks) / F.lit(int(budget))))
+
+def host_quota(
+    df: DataFrame,
+    host_col: str = "host",
+    k: int = 1000,
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+    n_salt: int | None = None,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Per-host document cap (C4/RefinedWeb-style host budget): keep at
+    most ``k`` documents per host, preferring higher ``order_col``
+    (e.g. a quality score; ``None`` = no preference), ties broken by
+    md5(id) then id — deterministic, partition-invariant, and
+    reproducible in any engine with md5 (the ``stratified_sample``
+    portability convention).
+
+    Scale shape: a plain per-host window sorts EVERY page of a host in
+    one partition — a hostile host with 10^9 pages becomes one
+    straggler task. ``n_salt`` enables the exact two-stage TopK: stage
+    one truncates to k within (host, salt) — salt = xxhash64(id) mod
+    n_salt, deterministic per row — stage two runs the true window
+    over the survivors, at most k·n_salt rows per host regardless of
+    host size. Exact because each host's global top-k under a total
+    order is contained in the union of its per-salt top-k's.
+
+    Reference analog: the reference's per-user top-N activity recode
+    (SURVEY.md §2 P6, `osm-data-classification` user-metadata top-N
+    membership) applied at the host level, which is where web-scale
+    skew actually lives."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    order = []
+    if order_col is not None:
+        order.append(F.desc(order_col))
+    order += [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    out = df
+    if n_salt is not None:
+        if n_salt <= 0:
+            raise ValueError(f"n_salt must be positive, got {n_salt}")
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(n_salt)))
+        w1 = Window.partitionBy(F.col(host_col), salt).orderBy(*order)
+        out = out.withColumn("_rn1", F.row_number().over(w1)).filter(
+            F.col("_rn1") <= int(k)
+        ).drop("_rn1")
+    w = Window.partitionBy(host_col).orderBy(*order)
+    out = out.withColumn("_host_rank", F.row_number().over(w)).filter(
+        F.col("_host_rank") <= int(k)
+    )
+    if rank_col is None:
+        return out.drop("_host_rank")
+    return out.withColumnRenamed("_host_rank", rank_col)

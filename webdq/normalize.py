@@ -302,3 +302,46 @@ def ecdf(
         )
     )
     return df_high.join(wide, on=df_high[key_col] == wide["_k"], how="inner").drop("_k")
+
+def winsorize(
+    df: DataFrame,
+    cols: list[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+    suffix: str = "_w",
+) -> DataFrame:
+    """Winsorization: clip each column to its EXACT [lower, upper]
+    corpus percentiles — the standard outlier guard applied to
+    heuristic quality features (length, symbol density, perplexity)
+    before they feed normalization/ML, where a single 2 GB page would
+    otherwise own the scale.
+
+    Shape: ALL bounds come from ONE single-row aggregate (Spark's
+    exact ``percentile`` with linear interpolation — the same
+    arithmetic as DuckDB ``quantile_cont`` and numpy
+    ``percentile(method='linear')``), broadcast back via a 1-row
+    crossJoin; the clip itself is a pure projection. Nulls are ignored
+    by the percentile and propagate through the clip (CASE, not
+    least/greatest — Spark's least/greatest SKIP nulls, which would
+    silently clamp a null to a bound). Two jobs total regardless of
+    len(cols); at 10^12 rows swap ``percentile`` for
+    ``percentile_approx`` if a sketch bound is acceptable.
+
+    Reference analog: the reference's v10/v90 per-group quantile
+    features (SURVEY.md §2 A6, utils.py extreme-value handling),
+    applied corpus-wide as a clip instead of a feature."""
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError(f"need 0 <= lower <= upper <= 1, got {lower}/{upper}")
+    aggs = []
+    for c in cols:
+        aggs.append(F.percentile(F.col(c), F.lit(float(lower))).alias(f"_{c}_lo"))
+        aggs.append(F.percentile(F.col(c), F.lit(float(upper))).alias(f"_{c}_hi"))
+    bounds = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(bounds))
+    for c in cols:
+        lo, hi = F.col(f"_{c}_lo"), F.col(f"_{c}_hi")
+        out = out.withColumn(
+            c + suffix,
+            F.when(F.col(c) < lo, lo).when(F.col(c) > hi, hi).otherwise(F.col(c)),
+        )
+    return out.drop(*[f"_{c}_{s}" for c in cols for s in ("lo", "hi")])

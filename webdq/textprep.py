@@ -282,3 +282,56 @@ def oov_stats(
             / F.count(F.lit(1))
         ).alias("oov_rate"),
     )
+
+def tfidf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """Per-(document, term) TF-IDF weights — the classic sparse
+    featurization between text prep and classical-ML training, and the
+    standard relevance weight for corpus search/inspection tooling.
+
+    Output: (id, token, tf, df, idf, tfidf) with the smooth-idf
+    convention idf = ln((1 + N) / (1 + df)) + 1 (sklearn's
+    ``TfidfTransformer(smooth_idf=True)`` — public, engine-neutral
+    arithmetic) where N = total corpus documents and df = number of
+    distinct documents containing the token.
+
+    Shape: one explode + one (id, token) hash groupBy gives tf; df is
+    a second groupBy OVER THE TF TABLE (already one row per (doc,
+    token), so no countDistinct shuffle); N is a 1-row aggregate
+    broadcast via crossJoin. The vocabulary join is broadcast when
+    ``max_vocab`` bounds it (TopK by (df desc, token) — same
+    deterministic order as ``build_vocab``), a plain shuffle equi-join
+    otherwise. At web scale pass ``max_vocab``/``min_df``: both bound
+    the term dimension, and min_df also drops the hapax tail that
+    dominates raw vocabulary size."""
+    tok = df.select(
+        F.col(id_col), F.explode(_toks(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= int(min_df))
+    )
+    if max_vocab is not None:
+        dfreq = dfreq.orderBy(F.desc("df"), F.col("token")).limit(int(max_vocab))
+        dfreq = F.broadcast(dfreq)
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    idf = F.log((1.0 + F.col("_n")) / (1.0 + F.col("df"))) + F.lit(1.0)
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            "df",
+            idf.alias("idf"),
+            (F.col("tf") * idf).alias("tfidf"),
+        )
+    )
