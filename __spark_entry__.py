@@ -2328,6 +2328,83 @@ CROSS JOIN b
 """
 
 
+def q76_corpus_build(spark, sf_dir):
+    """End-to-end corpus CONSTRUCTION chain — the five stages a
+    training-data build actually runs, composed as one lazy plan and
+    value-checked as a whole: quality filter (min length) → exact
+    dedup (keep lowest id per md5(text)) → per-host quota (top-20 by
+    n_chars) → stratified language mixing (exact md5-rank rates) →
+    contiguous sequence packing (512-token shards per language).
+    Every stage is engine-portable by design (md5 ranks, native
+    arithmetic), so DuckDB replays the ENTIRE pipeline as one CTE
+    chain — the strongest composition evidence the contract can
+    carry: any drift in any stage breaks the end-to-end hash.
+    Single-stage oracles: q34 (rules), q25 (dedup), q74 (quota),
+    q60 (mixing), q61 (packing)."""
+    from webdq import dedup, mixing
+
+    nw = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+            lambda x: x != F.lit(""),
+        )
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example")).alias("host"),
+        "lang",
+        "n_chars",
+        "text",
+        nw.alias("n_words"),
+    )
+    filt = d.filter(F.col("n_words") >= 10)
+    ded = dedup.dedup_keep_first(filt, id_col="doc_id", text_col="text")
+    quota = mixing.host_quota(
+        ded, host_col="host", k=20, order_col="n_chars", id_col="doc_id"
+    )
+    mixed = mixing.stratified_sample(
+        quota, ["lang"], rates={"en": 0.9, "de": 0.6}, default_rate=0.5
+    )
+    packed = mixing.sequence_pack(
+        mixed, budget=512, strata_cols=["lang"], tokens_col="n_words"
+    )
+    return packed.select(
+        "doc_id", "host", "lang", F.col("n_words").cast("long").alias("n_words"), "shard_id"
+    )
+
+
+SQL_76 = r"""
+WITH base AS (SELECT doc_id, source || '.example' AS host, lang, n_chars, text,
+                     len(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+                                     x -> x <> '')) AS n_words
+              FROM documents),
+ filt AS (SELECT * FROM base WHERE n_words >= 10),
+ ded AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY md5(coalesce(text, ''))
+                                                     ORDER BY doc_id) AS rn
+                        FROM filt) WHERE rn = 1),
+ quota AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY host
+                                                       ORDER BY n_chars DESC,
+                                                                md5(CAST(doc_id AS VARCHAR)),
+                                                                doc_id) AS hr
+                          FROM ded) WHERE hr <= 20),
+ samp AS (SELECT * FROM (SELECT *,
+                                row_number() OVER (PARTITION BY lang
+                                                   ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                                            doc_id) AS srn,
+                                count(*) OVER (PARTITION BY lang) AS sn,
+                                CASE lang WHEN 'en' THEN 0.9
+                                          WHEN 'de' THEN 0.6 ELSE 0.5 END AS rate
+                         FROM quota) WHERE srn <= ceil(rate * sn)),
+ pack AS (SELECT doc_id, host, lang, n_words,
+                 CAST(floor((sum(n_words) OVER (PARTITION BY lang
+                                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             - n_words) / 512.0) AS BIGINT) AS shard_id
+          FROM samp)
+SELECT doc_id, host, lang, CAST(n_words AS BIGINT) AS n_words, shard_id FROM pack
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_quality_pipeline": q00_quality_pipeline,
     "q01_latest_version": q01_latest_version,
@@ -2413,6 +2490,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_tfidf": q73_tfidf,
     "q74_host_quota": q74_host_quota,
     "q75_winsorize": q75_winsorize,
+    "q76_corpus_build": q76_corpus_build,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2488,6 +2566,7 @@ _ORACLES: dict[str, str] = {
     "q73_tfidf": SQL_73,
     "q74_host_quota": SQL_74,
     "q75_winsorize": SQL_75,
+    "q76_corpus_build": SQL_76,
 }
 
 

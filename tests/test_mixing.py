@@ -203,3 +203,25 @@ def test_host_quota_rejects_bad_args(docs):
         mixing.host_quota(docs, host_col="source", k=0)
     with pytest.raises(ValueError):
         mixing.host_quota(docs, host_col="source", k=2, n_salt=0)
+
+
+def test_corpus_build_composition_invariants(spark):
+    """q76: the five-stage corpus-construction chain holds its
+    stage-level invariants end-to-end (the value-exactness itself is
+    the DuckDB oracle's job)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as e
+
+    out = e.queries()["q76_corpus_build"](spark, "/root/testdata/sf0.001").toPandas()
+    # downsampling-only rates → no duplicate docs survive the chain
+    assert out["doc_id"].is_unique
+    # host quota: at most 20 docs per host
+    assert out.groupby("host")["doc_id"].count().max() <= 20
+    # packing: shard ids contiguous from 0 within each language
+    for _, g in out.groupby("lang"):
+        ids = sorted(g["shard_id"].unique())
+        assert ids == list(range(len(ids)))
+    # quality filter lower bound survived the chain
+    assert (out["n_words"] >= 10).all()

@@ -115,6 +115,10 @@ CHECKS = {
     # the clip join must be a broadcast nested loop over a 1-row build
     # side (constant, not data×data), never a shuffled join
     "q75_winsorize": ["BroadcastNestedLoopJoin", "!SortMergeJoin"],
+    # composed corpus-construction chain: the mixing-rate table must
+    # broadcast; five chained stages must introduce no cartesian or
+    # per-row nested-loop join anywhere in the plan
+    "q76_corpus_build": ["BroadcastHashJoin", "!Cartesian", "!NestedLoop"],
 }
 
 
