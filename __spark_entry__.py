@@ -2405,6 +2405,104 @@ SELECT doc_id, host, lang, CAST(n_words AS BIGINT) AS n_words, shard_id FROM pac
 """
 
 
+def _pq_demo_books():
+    """Arithmetic PQ codebooks (m=2 subspaces × k=4 codes × dsub=32)
+    for the CONTRACT query: c(s,j,t) = ((7j+3t+5s) mod 13)/13 − 0.5 —
+    rebuildable by any engine, so encode + ADC are value-checkable
+    end-to-end. TRAINED codebooks (similarity.pq_fit) keep pytest
+    gates (recall vs exact, reconstruction error), the same honest
+    split as IVF (q47) vs its clustered-fixture tests."""
+    import numpy as np
+
+    m, k, dsub = 2, 4, 32
+    books = np.empty((m, k, dsub))
+    for s in range(m):
+        for j in range(k):
+            for t in range(dsub):
+                books[s, j, t] = ((7 * j + 3 * t + 5 * s) % 13) / 13.0 - 0.5
+    return books
+
+
+def q77_pq_adc(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011, the FAISS PQ
+    baseline): distributed native-expression encode (argmin over m·k
+    fixed-order squared-distance expressions — zero Python, zero
+    shuffle) + true-LUT ADC top-5 per query (the per-query distance
+    table is computed ONCE, broadcast, equi-joined to posexploded
+    codes, pivoted back with per-subspace selection aggregates, and
+    summed in a fixed left-to-right fold). All float arithmetic has
+    an explicit evaluation order, so DuckDB replays encode AND ADC
+    bit-for-bit from the arithmetic codebooks."""
+    from webdq import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = _pq_demo_books()
+    # materialize the code table before scoring — the index-build /
+    # index-scan split a real deployment has anyway (codes would be a
+    # stored stage table); scoring a LAZY encode plan fuses encode +
+    # join + agg into one whole-stage function that overflows janino's
+    # 64 KB method limit and silently drops to interpreted (measured)
+    codes = similarity.pq_encode(e, books).localCheckpoint(eager=True)
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_adc_topk(codes, queries, books, k=5)
+
+
+def _sql_77():
+    """Generated oracle for q77: unrolled fixed-order distance
+    expressions (same left-assoc fold as the Spark side), first-min
+    CASE encode (≡ array_position(array_min)), CASE-selected ADC."""
+    m, k, dsub = 2, 4, 32
+
+    def c(s, j, t):
+        return ((7 * j + 3 * t + 5 * s) % 13) / 13.0 - 0.5
+
+    def dist(col, s, j):
+        terms = []
+        for t in range(dsub):
+            x = f"(CAST({col}[{s * dsub + t + 1}] AS DOUBLE) - ({c(s, j, t)!r}))"
+            terms.append(f"({x} * {x})")
+        return " + ".join(terms)
+
+    d_cols = ", ".join(
+        f"({dist('embedding', s, j)}) AS d{s}_{j}" for s in range(m) for j in range(k)
+    )
+    codes = []
+    for s in range(m):
+        least = "least(" + ", ".join(f"d{s}_{j}" for j in range(k)) + ")"
+        whens = " ".join(f"WHEN d{s}_{j} = {least} THEN {j}" for j in range(k - 1))
+        codes.append(f"CASE {whens} ELSE {k - 1} END AS code{s}")
+    lut = " UNION ALL ".join(
+        f"SELECT qid, {s} AS s, {j} AS j, ({dist('embedding', s, j)}) AS d FROM q"
+        for s in range(m)
+        for j in range(k)
+    )
+    ex = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, code{s} AS j FROM coded" for s in range(m)
+    )
+    pivots = ", ".join(
+        f"max(CASE WHEN l.s = {s} THEN l.d END) AS d{s}" for s in range(m)
+    )
+    adc = " + ".join(f"d{s}" for s in range(m))
+    return f"""
+WITH enc AS (SELECT vec_id, {d_cols} FROM embeddings),
+ coded AS (SELECT vec_id, {', '.join(codes)} FROM enc),
+ q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 3),
+ lut AS ({lut}),
+ ex AS ({ex}),
+ scored AS (SELECT l.qid, e.vec_id AS nid, {pivots}
+            FROM ex e JOIN lut l ON e.s = l.s AND e.j = l.j AND e.vec_id <> l.qid
+            GROUP BY l.qid, e.vec_id),
+ ranked AS (SELECT qid, nid, {adc} AS adc,
+                   row_number() OVER (PARTITION BY qid ORDER BY {adc}, nid) AS rn
+            FROM scored)
+SELECT qid AS query_id, CAST(rn AS INT) AS rank, nid AS neighbor_id,
+       round(adc, 6) AS adc_dist
+FROM ranked WHERE rn <= 5
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_quality_pipeline": q00_quality_pipeline,
     "q01_latest_version": q01_latest_version,
@@ -2491,6 +2589,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_host_quota": q74_host_quota,
     "q75_winsorize": q75_winsorize,
     "q76_corpus_build": q76_corpus_build,
+    "q77_pq_adc": q77_pq_adc,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2567,6 +2666,7 @@ _ORACLES: dict[str, str] = {
     "q74_host_quota": SQL_74,
     "q75_winsorize": SQL_75,
     "q76_corpus_build": SQL_76,
+    "q77_pq_adc": _sql_77(),
 }
 
 

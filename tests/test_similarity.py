@@ -95,3 +95,70 @@ def test_embedding_neardup_lsh_blocking(spark):
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert cos >= 0.95 - 1e-9
         assert abs(cos - r["cosine"]) < 1e-5
+
+
+# ---- product quantization ----
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    df, X = _emb_df(spark)
+    rng = np.random.RandomState(11)
+    books = rng.randn(4, 8, 4)  # m=4, k=8, dsub=4 over dim=16
+    got = {r["vec_id"]: list(r["codes"]) for r in similarity.pq_encode(df, books).collect()}
+    for i in range(len(X)):
+        exp = []
+        for s in range(4):
+            sub = X[i, s * 4 : (s + 1) * 4]
+            d = ((sub[None, :] - books[s]) ** 2).sum(axis=1)
+            exp.append(int(np.argmin(d)))
+        assert got[i] == exp, f"vec {i}"
+
+
+def test_pq_adc_trained_path(spark):
+    """Trained PQ on normalized inputs (cosine ≡ L2 on the unit
+    sphere). Two gates for the non-oracle-able path: (1) Spark ADC
+    distances equal the numpy ADC reference (lut sum over stored
+    codes) to rounding; (2) every ADC top-5 neighbor lies in the
+    query's TRUE cluster — PQ must preserve cluster structure.
+    (Exact top-5 recall is NOT gated: within a tight cluster the true
+    neighbor ordering sits below the quantization noise floor, the
+    textbook PQ regime — re-ranking candidates with exact distances is
+    the standard fix and is what ivf_topk does.)"""
+    df, X = _emb_df(spark)
+    # materialize the norm under a fresh name BEFORE the transform —
+    # an aggregate captured inside a transform lambda re-evaluates per
+    # element (and misresolves if the select aliases the same name):
+    # the q57/classifier HOF gotcha (CLAUDE.md)
+    norm = df.selectExpr(
+        "vec_id", "embedding",
+        "sqrt(aggregate(embedding, 0.0d, (a, e) -> a + e * e)) AS _n",
+    ).selectExpr("vec_id", "transform(embedding, x -> x / _n) AS embedding")
+    books = similarity.pq_fit(norm, m=4, k=16, sample_n=120, iters=15)
+    # materialized index, as in q77 (codegen-clean scan split)
+    codes = similarity.pq_encode(norm, books).localCheckpoint(eager=True)
+    q = norm.filter("vec_id < 8").selectExpr("vec_id as query_id", "embedding")
+    approx = similarity.pq_adc_topk(codes, q, books, k=5).collect()
+
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    code_map = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    m, _, dsub = books.shape
+    for r in approx:
+        qv, cs = Xn[r["query_id"]], code_map[r["neighbor_id"]]
+        ref = sum(
+            ((qv[s * dsub : (s + 1) * dsub] - books[s, cs[s]]) ** 2).sum()
+            for s in range(m)
+        )
+        assert abs(r["adc_dist"] - ref) < 1e-6, (r, ref)
+        # fixture: 4 clusters of 30 consecutive ids
+        assert r["neighbor_id"] // 30 == r["query_id"] // 30, r
+
+
+def test_pq_fit_deterministic_and_shapes(spark):
+    df, _ = _emb_df(spark)
+    a = similarity.pq_fit(df, m=4, k=8, sample_n=64, iters=5)
+    b = similarity.pq_fit(df.repartition(7), m=4, k=8, sample_n=64, iters=5)
+    assert a.shape == (4, 8, 4)
+    np.testing.assert_array_equal(a, b)
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.pq_fit(df, m=5)

@@ -119,6 +119,12 @@ CHECKS = {
     # broadcast; five chained stages must introduce no cartesian or
     # per-row nested-loop join anywhere in the plan
     "q76_corpus_build": ["BroadcastHashJoin", "!Cartesian", "!NestedLoop"],
+    # PQ ADC: the lut (query × subspace × code distance table) must
+    # BROADCAST into an equi-join against the posexploded codes; the
+    # pivot aggregation combines map-side; no cartesian/nested-loop,
+    # no shuffled join, no Arrow/Python evaluator anywhere — encode
+    # and ADC are native expressions small enough to stay in codegen
+    "q77_pq_adc": ["BroadcastHashJoin", "partial_", "!CartesianProduct", "!NestedLoop", "!SortMergeJoin", "!ArrowEvalPython", "!BatchEvalPython"],
 }
 
 
