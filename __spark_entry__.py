@@ -2503,6 +2503,87 @@ FROM ranked WHERE rn <= 5
 """
 
 
+def q78_line_dedup(spark, sf_dir):
+    """Corpus-wide line-level dedup with document reconstruction
+    (C4/CCNet boilerplate removal — dedup.line_dedup_corpus): lines
+    whose fingerprint occurs ≥ 2 times anywhere in the corpus keep
+    only their first (id, idx) occurrence, docs are reassembled in
+    order. Runs over the q56 deterministic 2-token-line view (the
+    fixture text is single-line). Skew-safe shape: fingerprint
+    groupBy with min-(id,idx)-struct (one row per distinct line even
+    for a 10^9-occurrence navbar line) + join back — no per-key
+    window sort. DuckDB replays split → count/first → filter →
+    ordered string_agg; the output hash covers every byte of every
+    reconstructed document."""
+    from webdq import dedup
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
+    )
+    nlines = F.ceil(F.size("_toks") / F.lit(2.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i * 2 + 1, 2)),
+    )
+    multi = d.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    return dedup.line_dedup_corpus(multi, min_count=2)
+
+
+SQL_78 = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+ v AS (SELECT doc_id, w, CAST(ceil(len(w) / 2.0) AS BIGINT) AS nl FROM t),
+ ln AS (SELECT doc_id, unnest(range(nl)) AS idx, w FROM v),
+ l AS (SELECT doc_id, idx,
+              array_to_string(w[idx * 2 + 1 : idx * 2 + 2], ' ') AS line
+       FROM ln),
+ k AS (SELECT doc_id, idx, line,
+              count(*) OVER (PARTITION BY md5(line)) AS n,
+              row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, idx) AS rn
+       FROM l),
+ kept AS (SELECT doc_id, idx, line FROM k WHERE n < 2 OR rn = 1),
+ reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text_deduped
+         FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(reb.text_deduped, '') AS text_deduped
+FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+"""
+
+
+def q79_select_by_budget(spark, sf_dir):
+    """Budget-constrained corpus selection (the FineWeb/DCLM-style
+    "best docs up to a token budget" step): greedy prefix in
+    (score desc, md5(id), id) order whose running token sum stays
+    within budget — mixing.select_by_budget's bucket-then-refine
+    rewrite (per-bucket sums decide every non-boundary bucket
+    wholesale; only ONE bucket gets the exact window) vs the oracle's
+    plain global running-sum window: the value-exact match proves the
+    rewrite. Score/tokens are deterministic document derivations."""
+    from webdq import mixing
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(F.col("doc_id") * 37 + F.col("n_chars"), F.lit(997)).cast("double").alias("score"),
+        (F.pmod(F.col("n_chars"), F.lit(200)) + 1).alias("n_tokens"),
+    )
+    budget = 25_000
+    out = mixing.select_by_budget(d, budget, n_buckets=64)
+    return out.select("doc_id", "score", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+SQL_79 = """
+WITH base AS (SELECT doc_id,
+                     CAST((doc_id * 37 + n_chars) % 997 AS DOUBLE) AS score,
+                     (n_chars % 200) + 1 AS n_tokens
+              FROM documents),
+ w AS (SELECT doc_id, score, n_tokens,
+              sum(n_tokens) OVER (ORDER BY score DESC,
+                                           md5(CAST(doc_id AS VARCHAR)), doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       FROM base)
+SELECT doc_id, score, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM w WHERE cum <= 25000
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_quality_pipeline": q00_quality_pipeline,
     "q01_latest_version": q01_latest_version,
@@ -2590,6 +2671,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_winsorize": q75_winsorize,
     "q76_corpus_build": q76_corpus_build,
     "q77_pq_adc": q77_pq_adc,
+    "q78_line_dedup": q78_line_dedup,
+    "q79_select_by_budget": q79_select_by_budget,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2667,6 +2750,8 @@ _ORACLES: dict[str, str] = {
     "q75_winsorize": SQL_75,
     "q76_corpus_build": SQL_76,
     "q77_pq_adc": _sql_77(),
+    "q78_line_dedup": SQL_78,
+    "q79_select_by_budget": SQL_79,
 }
 
 

@@ -160,3 +160,64 @@ def test_winnowing_matches_python_and_guarantee(spark):
     assert got[0] & got[1], "shared 7-token run must yield a common fingerprint"
     assert not (got[0] & got[2])
     assert 3 not in got  # too short for any complete window
+
+
+# ---- corpus-wide line dedup ----
+
+def _line_dedup_py(docs, min_count=2):
+    """Independent python reference: global line occurrence counts,
+    keep first occurrence (by (id, idx)) of frequent lines."""
+    from collections import Counter
+
+    cnt = Counter()
+    for _, text in docs:
+        cnt.update(text.split("\n"))
+    seen = set()
+    out = {}
+    for did, text in docs:  # docs must be pre-sorted by id
+        kept = []
+        for line in text.split("\n"):
+            if cnt[line] < min_count:
+                kept.append(line)
+            elif line not in seen:
+                seen.add(line)
+                kept.append(line)
+        out[did] = "\n".join(kept)
+    return out
+
+
+def test_line_dedup_corpus_matches_python(spark):
+    from webdq import dedup
+
+    docs = [
+        (0, "nav bar\nhello world\nfooter"),
+        (1, "nav bar\nunique line one\nfooter"),
+        (2, "nav bar\nnav bar\nsomething else"),
+        (3, "all original\ncontent here"),
+        (4, ""),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_deduped"] for r in dedup.line_dedup_corpus(df).collect()}
+    assert got == _line_dedup_py(docs)
+    # doc 0 keeps everything (first occurrences); doc 1 loses both
+    # boilerplate lines; doc 2's within-doc repeat also dedups
+    assert got[0] == "nav bar\nhello world\nfooter"
+    assert got[1] == "unique line one"
+    assert got[2] == "something else"
+    assert got[3] == "all original\ncontent here"
+
+
+def test_line_dedup_corpus_partition_invariant_and_args(spark):
+    import pytest
+
+    from webdq import dedup
+
+    docs = [(i, f"common line\nbody {i} text\nshared {i % 3}") for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(map(tuple, dedup.line_dedup_corpus(df, min_count=3).collect()))
+    b = sorted(map(tuple, dedup.line_dedup_corpus(df.repartition(13), min_count=3).collect()))
+    assert a == b
+    assert len(a) == 60  # every doc present
+    with pytest.raises(ValueError):
+        dedup.line_dedup_corpus(df, min_count=1)

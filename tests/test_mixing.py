@@ -225,3 +225,45 @@ def test_corpus_build_composition_invariants(spark):
         assert ids == list(range(len(ids)))
     # quality filter lower bound survived the chain
     assert (out["n_words"] >= 10).all()
+
+
+# ---- select_by_budget ----
+
+def _budget_prefix_py(rows, budget):
+    """Naive reference: global (score desc, md5, id) prefix under budget."""
+    order = sorted(rows, key=lambda r: (-r[1], _md5(r[0]), r[0]))
+    out, cum = set(), 0
+    for rid, _, tok in order:
+        if cum + tok > budget:
+            break
+        cum += tok
+        out.add(rid)
+    return out
+
+
+def test_select_by_budget_matches_naive_prefix(spark):
+    rows = [(i, float((i * 53) % 211), 1 + (i * 11) % 60) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens int")
+    for budget in (1, 500, 3_000, 10_000):
+        got = set(
+            r["doc_id"]
+            for r in mixing.select_by_budget(df, budget, n_buckets=16).collect()
+        )
+        assert got == _budget_prefix_py(rows, budget), f"budget {budget}"
+
+
+def test_select_by_budget_keep_all_and_invariance(spark):
+    rows = [(i, float(i % 7), 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens int")
+    # total tokens = 1000 <= budget -> everything kept (boundary null)
+    assert mixing.select_by_budget(df, 1_000).count() == 200
+    a = sorted(r["doc_id"] for r in mixing.select_by_budget(df, 333, n_buckets=8).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mixing.select_by_budget(df.repartition(17), 333, n_buckets=8).collect()
+    )
+    assert a == b
+    import pytest
+
+    with pytest.raises(ValueError):
+        mixing.select_by_budget(df, 0)

@@ -125,6 +125,16 @@ CHECKS = {
     # no shuffled join, no Arrow/Python evaluator anywhere — encode
     # and ADC are native expressions small enough to stay in codegen
     "q77_pq_adc": ["BroadcastHashJoin", "partial_", "!CartesianProduct", "!NestedLoop", "!SortMergeJoin", "!ArrowEvalPython", "!BatchEvalPython"],
+    # corpus line dedup: fingerprint stats must be a map-side-combined
+    # hash aggregation (one row per distinct line — the skew guard),
+    # never a per-fingerprint window sort; no cartesian anywhere
+    "q78_line_dedup": ["partial_", "!Cartesian", "!NestedLoop"],
+    # budget selection: per-bucket sums map-side combined; the bucket
+    # stats and boundary info broadcast back; the ONLY window runs
+    # inside the boundary bucket — never a global single-partition
+    # running sum over the data (the bucket table's own ≤n_buckets-row
+    # cum is fine and unavoidable)
+    "q79_select_by_budget": ["partial_", "BroadcastHashJoin"],
 }
 
 

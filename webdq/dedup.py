@@ -447,3 +447,60 @@ def dedup_against(
         .withColumn("in_corpus", F.coalesce(F.col("_seen"), F.lit(False)))
         .drop("_fp", "_seen")
     )
+
+def line_dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    out_col: str = "text_deduped",
+    sep: str = "\n",
+) -> DataFrame:
+    """CORPUS-WIDE line-level deduplication with document
+    reconstruction — the C4/CCNet boilerplate-removal step (navbars,
+    cookie banners, footers repeat across millions of pages): a line
+    whose md5 fingerprint occurs ≥ ``min_count`` times in the whole
+    corpus keeps only its FIRST occurrence (minimum (id, line_idx),
+    deterministic and partition-invariant); rarer lines pass through.
+    Documents are reassembled in original line order; every input
+    document appears in the output (possibly as an empty string).
+
+    Scale shape: posexplode lines → one hash groupBy on the line
+    fingerprint (map-side combined; a boilerplate line with 10^9
+    occurrences is ONE aggregate row — no per-key window sort, the
+    skew-safe alternative to row_number-over-fingerprint) + min of a
+    (id, idx) struct for the first occurrence → equi-join back (stats
+    side has one row per distinct line) → one groupBy on the unique
+    doc id to rebuild. Within-doc variant: ``textprep.
+    dedup_consecutive_lines``; whole-doc exact variant:
+    ``exact_dedup``."""
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("_idx", "_line"),
+    ).withColumn("_fp", F.md5(F.col("_line")))
+    stats = lines.groupBy("_fp").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct(F.col(id_col), F.col("_idx"))).alias("_first"),
+    )
+    kept = lines.join(stats, "_fp").filter(
+        (F.col("_n") < int(min_count))
+        | (
+            (F.col(id_col) == F.col("_first")[id_col])
+            & (F.col("_idx") == F.col("_first._idx"))
+        )
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_idx", "_line"))).alias("_ls"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(sep, F.transform("_ls", lambda s: s["_line"])).alias(out_col),
+        )
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col(out_col), F.lit("")).alias(out_col)
+    )

@@ -185,3 +185,81 @@ def host_quota(
     if rank_col is None:
         return out.drop("_host_rank")
     return out.withColumnRenamed("_host_rank", rank_col)
+
+def select_by_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Budget-constrained corpus selection: keep the GREEDY PREFIX of
+    documents in (score desc, md5(id), id) order whose running token
+    sum stays ≤ ``budget`` — the "best documents up to a 10^12-token
+    budget" step a classifier-scored pretraining corpus runs last
+    (prefix semantics: the first document that would overflow the
+    budget stops the selection; nothing after it is skipped into).
+
+    Exact WITHOUT a global single-partition sort: scores are range-
+    bucketed (affine map over the min/max from one 1-row aggregate —
+    equal scores always share a bucket, so bucket order extends score
+    order); per-bucket token sums (ONE map-side-combined groupBy) give
+    a descending running total over ≤ n_buckets rows, which already
+    decides every NON-boundary bucket wholesale: higher buckets are
+    kept entirely, lower buckets dropped entirely. Only the single
+    boundary bucket needs the exact within-bucket window, over its own
+    rows alone. Degenerate case: if one score value holds most of the
+    corpus, the boundary window is that value's row count — the same
+    hot-stratum caveat as ``sequence_pack`` (sub-salt if it bites).
+
+    Deterministic, partition-invariant, engine-portable (md5 ties);
+    the oracle replays the plain global running-sum window. Rows with
+    a NULL score are never selected (they have no place in the score
+    order; the null bucket drops out of the stats equi-join); tokens
+    must be non-null."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    score = F.col(score_col).cast("double")
+    toks = F.col(tokens_col).cast("long")
+    stats = df.agg(F.min(score).alias("_lo"), F.max(score).alias("_hi"))
+    d = df.crossJoin(F.broadcast(stats)).withColumn(
+        "_bkt",
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(int(n_buckets) - 1),
+                F.floor(
+                    (score - F.col("_lo"))
+                    / (F.col("_hi") - F.col("_lo"))
+                    * int(n_buckets)
+                ),
+            )
+        )
+        .cast("int"),
+    ).drop("_lo", "_hi")
+    btbl = d.groupBy("_bkt").agg(F.sum(toks).alias("_btok"))
+    wb = (
+        Window.orderBy(F.desc("_bkt"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    btbl = btbl.withColumn("_bcum", F.sum("_btok").over(wb))
+    binfo = btbl.agg(
+        F.max(F.when(F.col("_bcum") > int(budget), F.col("_bkt"))).alias("_boundary")
+    )
+    d2 = d.join(
+        F.broadcast(btbl.select("_bkt", (F.col("_bcum") - F.col("_btok")).alias("_prev"))),
+        "_bkt",
+    ).crossJoin(F.broadcast(binfo))
+    full = d2.filter(F.col("_boundary").isNull() | (F.col("_bkt") > F.col("_boundary")))
+    border = d2.filter(F.col("_bkt") == F.col("_boundary"))
+    wd = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.desc(score_col), F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    border = border.withColumn("_cum_in", F.sum(toks).over(wd)).filter(
+        F.col("_prev") + F.col("_cum_in") <= int(budget)
+    )
+    helpers = ["_bkt", "_prev", "_boundary"]
+    return full.drop(*helpers).unionByName(border.drop(*helpers, "_cum_in"))
