@@ -315,6 +315,20 @@ def main() -> None:
             "scaling_efficiency": round(s["scaling_efficiency"], 3),
             "scaling_efficiency_median": round(s["scaling_efficiency_median"], 3),
         }
+        # surface the STANDING claim next to this run's number: a
+        # single driver run on a co-tenant-loaded hour can read far
+        # below the engine's demonstrated efficiency (observed 0.283
+        # in a window where per-level best walls were record-fast) —
+        # the accumulated evidence, not one sample, carries the claim
+        # (SCALING_WINDOWS.json; BENCH.md "The claim").
+        w14 = rec.get("1to4")
+        if w14:
+            result["scaling_standing_1to4"] = {
+                "efficiency_best": w14["efficiency_best"],
+                "efficiency_median": w14["efficiency_median"],
+                "rounds": w14["rounds"],
+                "n_docs": w14["n_docs"],
+            }
         _write_bench_md(result, s, n_docs, rec)
     print(json.dumps(result))
 
