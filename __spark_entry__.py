@@ -2584,6 +2584,47 @@ FROM w WHERE cum <= 25000
 """
 
 
+def q80_image_resize(spark, sf_dir):
+    """Image resize plumbing, value-exact end-to-end: real PPM decode
+    → integer-arithmetic nearest-neighbor resize (8×6, mixes up- AND
+    down-sampling across the 4..16 × 4..14 source dims) → P6
+    re-encode → REAL re-decode for stats (multimodal.resize_images +
+    decode_image_features, both Arrow mapInPandas). The source pixel
+    pattern cycles md5(text) bytes (q37's construction), and nearest
+    sampling is floor(dst·src/out) integer indexing, so DuckDB
+    recomputes the resized image's mean byte purely arithmetically —
+    the oracle covers decode, resample indexing, re-encode and
+    re-decode in one hash. (A 144-int mean is exact in doubles: no
+    float-order hazard.) Box-average resize keeps pytest gates."""
+    from webdq import multimodal
+
+    media = multimodal.ppm_media_from_documents(spark, sf_dir)
+    resized = multimodal.resize_images(media, out_w=8, out_h=6)
+    out = multimodal.decode_image_features(resized)
+    return out.select(
+        "media_id", "width", "height", "channels", F.round("mean_byte", 6).alias("mean_byte")
+    )
+
+
+SQL_80 = """
+WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w, (doc_id // 13) % 11 + 4 AS h, md5(text) AS hx
+           FROM documents),
+ b AS (SELECT doc_id, w, h,
+              [strpos('0123456789abcdef', substr(hx, 2*j + 1, 1)) * 16
+               + strpos('0123456789abcdef', substr(hx, 2*j + 2, 1)) - 17
+               for j in range(16)] AS bytes
+       FROM d),
+ g AS (SELECT doc_id, w, h, bytes, y.y, x.x, c.c
+       FROM b, range(6) y(y), range(8) x(x), range(3) c(c)),
+ v AS (SELECT doc_id,
+              bytes[(((y * h) // 6 * w + (x * w) // 8) * 3 + c) % 16 + 1] AS byte
+       FROM g)
+SELECT doc_id AS media_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+       CAST(3 AS INT) AS channels, round(avg(byte), 6) AS mean_byte
+FROM v GROUP BY doc_id
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_quality_pipeline": q00_quality_pipeline,
     "q01_latest_version": q01_latest_version,
@@ -2673,6 +2714,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_pq_adc": q77_pq_adc,
     "q78_line_dedup": q78_line_dedup,
     "q79_select_by_budget": q79_select_by_budget,
+    "q80_image_resize": q80_image_resize,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2752,6 +2794,7 @@ _ORACLES: dict[str, str] = {
     "q77_pq_adc": _sql_77(),
     "q78_line_dedup": SQL_78,
     "q79_select_by_budget": SQL_79,
+    "q80_image_resize": SQL_80,
 }
 
 

@@ -265,3 +265,64 @@ def test_jpeg_media_decode_matches_formula(spark):
         np.testing.assert_allclose(r["mean_byte"], sum(rgb) / 3.0, rtol=0, atol=1e-12)
 
 
+
+
+# ---- resize ----
+
+def _ppm(img):
+    import numpy as np
+
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def test_resize_nearest_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    imgs = {i: rng.randint(0, 256, size=(5 + i, 7 + 2 * i, 3), dtype=np.uint8) for i in range(4)}
+    df = spark.createDataFrame(
+        [(i, bytearray(_ppm(img))) for i, img in imgs.items()],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in multimodal.resize_images(df, 6, 4).collect()}
+    for i, img in imgs.items():
+        h, w = img.shape[:2]
+        ys = (np.arange(4) * h) // 4
+        xs = (np.arange(6) * w) // 6
+        exp = img[ys][:, xs]
+        got = multimodal._decode_rgb(bytes(out[i]["payload"]))
+        assert out[i]["width"] == 6 and out[i]["height"] == 4
+        np.testing.assert_array_equal(got, exp, err_msg=f"img {i}")
+
+
+def test_resize_box_and_edges(spark):
+    import numpy as np
+    import pytest
+
+    # 4x4 gradient -> 2x2 box means (floor)
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    df = spark.createDataFrame([(0, bytearray(_ppm(img)))], "media_id long, payload binary")
+    out = multimodal.resize_images(df, 2, 2, method="box").collect()[0]
+    got = multimodal._decode_rgb(bytes(out["payload"]))
+    exp = np.empty((2, 2, 3), dtype=np.uint8)
+    for yi in range(2):
+        for xi in range(2):
+            blk = img[yi * 2 : yi * 2 + 2, xi * 2 : xi * 2 + 2].reshape(-1, 3).astype(np.int64)
+            exp[yi, xi] = blk.sum(axis=0) // 4
+    np.testing.assert_array_equal(got, exp)
+    # constant image stays constant under box, up- or down-sampled
+    flat = np.full((5, 3, 3), 77, dtype=np.uint8)
+    df2 = spark.createDataFrame([(1, bytearray(_ppm(flat)))], "media_id long, payload binary")
+    got2 = multimodal._decode_rgb(
+        bytes(multimodal.resize_images(df2, 9, 2, method="box").collect()[0]["payload"])
+    )
+    assert (got2 == 77).all()
+    # undecodable payload -> total row, no task failure
+    bad = spark.createDataFrame([(2, bytearray(b"not-an-image-at-all"))], "media_id long, payload binary")
+    r = multimodal.resize_images(bad, 4, 4).collect()[0]
+    assert r["payload"] is None and r["width"] == 0 and r["height"] == 0
+    with pytest.raises(ValueError):
+        multimodal.resize_images(df, 0, 4)
+    with pytest.raises(ValueError):
+        multimodal.resize_images(df, 4, 4, method="bilinear")

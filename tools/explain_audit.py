@@ -135,6 +135,10 @@ CHECKS = {
     # running sum over the data (the bucket table's own ≤n_buckets-row
     # cum is fine and unavoidable)
     "q79_select_by_budget": ["partial_", "BroadcastHashJoin"],
+    # resize chain: two Arrow mapInPandas stages; the documents scan
+    # must prune to the two columns the payload derives from (the
+    # meta map and lang/source/n_chars never reach the scan)
+    "q80_image_resize": ["MapInPandas", "ReadSchema: struct<doc_id:bigint,text:string>"],
 }
 
 

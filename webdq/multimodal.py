@@ -571,3 +571,98 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
             F.substring(F.col("payload"), F.lit(17) + F.col("frame_no") * F.col("_ck"), F.col("_ck")).alias("frame"),
         )
     )
+
+def _decode_rgb(payload: bytes) -> np.ndarray | None:
+    """(h, w, 3) uint8 pixel array for P6/JPEG/PNG payloads via the
+    real codecs; None for undecodable/foreign payloads."""
+    if payload is None or len(payload) < 8:
+        return None
+    payload = bytes(payload)
+    if payload[:2] == b"P6":
+        import re
+
+        m = re.match(rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
+        if not m:
+            return None
+        w, h = int(m.group(1)), int(m.group(2))
+        body = np.frombuffer(payload, dtype=np.uint8, count=min(w * h * 3, len(payload) - m.end()), offset=m.end())
+        if len(body) < w * h * 3:
+            return None
+        return body.reshape(h, w, 3)
+    if payload[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
+    if payload[:4] == b"\x89PNG":
+        from .pngcodec import decode_png
+
+        return decode_png(payload)
+    return None
+
+
+def _encode_ppm(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    method: str = "nearest",
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize image payloads (P6/JPEG/PNG in, P6 out so the decode /
+    feature operators compose downstream) — the third member of the
+    multimodal plumbing set (decode / feature-extract / RESIZE /
+    frame-sample). Arrow ``mapInPandas``, pure numpy per batch.
+
+    ``nearest``: src index = floor(dst · src_dim / out_dim) in INTEGER
+    arithmetic — fully engine-replayable, which is what lets the q80
+    oracle recompute the resized image's statistics arithmetically
+    from the deterministic source pattern (up- AND down-sampling).
+    ``box``: integer-edge partition mean with floor rounding (empty
+    upsampling cells fall back to the single source pixel row/col).
+    Undecodable payloads yield (NULL payload, 0×0) — total function,
+    no task failure on a corrupt shard."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"output dims must be positive, got {out_w}x{out_h}")
+    if method not in ("nearest", "box"):
+        raise ValueError(f"unknown method {method!r}")
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(payload_col, T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = _decode_rgb(payload)
+                if img is None:
+                    rows.append((mid, None, 0, 0))
+                    continue
+                h, w = img.shape[:2]
+                if method == "nearest":
+                    ys = (np.arange(out_h) * h) // out_h
+                    xs = (np.arange(out_w) * w) // out_w
+                    out = img[ys][:, xs]
+                else:
+                    ye = (np.arange(out_h + 1) * h) // out_h
+                    xe = (np.arange(out_w + 1) * w) // out_w
+                    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+                    for yi in range(out_h):
+                        y0, y1 = ye[yi], max(ye[yi + 1], ye[yi] + 1)
+                        for xi in range(out_w):
+                            x0, x1 = xe[xi], max(xe[xi + 1], xe[xi] + 1)
+                            blk = img[y0:y1, x0:x1].reshape(-1, 3).astype(np.int64)
+                            out[yi, xi] = blk.sum(axis=0) // blk.shape[0]
+                rows.append((mid, _encode_ppm(out), out_w, out_h))
+            yield pd.DataFrame(rows, columns=[id_col, payload_col, "width", "height"])
+
+    return df.select(id_col, payload_col).mapInPandas(gen, schema)
