@@ -2625,6 +2625,57 @@ FROM v GROUP BY doc_id
 """
 
 
+def q81_audio_resample(spark, sf_dir):
+    """Audio sample-rate conversion, value-exact end-to-end: real WAV
+    decode (chunk walk) → nearest-sample 8000→6000 Hz resample
+    (integer index arithmetic) → WAV re-encode → REAL re-decode for
+    stats (multimodal.resample_audio + decode_audio_features). The
+    PCM stream cycles md5(text) bytes as little-endian int16 pairs
+    (wav_media_from_documents — the audio twin of q37/q80's pixel
+    cycle), so DuckDB recomputes every statistic arithmetically —
+    including RMS: squares of k/32768 are multiples of 2⁻³⁰ with a
+    bounded sum, EXACT in doubles, so the mean is order-independent
+    and sqrt rounds identically in both engines. First value-exact
+    oracle for the audio operator family (previously pytest-only)."""
+    from webdq import multimodal
+
+    media = multimodal.wav_media_from_documents(spark, sf_dir)
+    res = multimodal.resample_audio(media, out_rate=6000)
+    out = multimodal.decode_audio_features(res)
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+SQL_81 = """
+WITH d AS (SELECT doc_id, 100 + doc_id % 200 AS n_in, md5(text) AS hx FROM documents),
+ b AS (SELECT doc_id, n_in,
+              [strpos('0123456789abcdef', substr(hx, 2*j + 1, 1)) * 16
+               + strpos('0123456789abcdef', substr(hx, 2*j + 2, 1)) - 17
+               for j in range(16)] AS bytes
+       FROM d),
+ s AS (SELECT doc_id, bytes, n_in, (n_in * 6000) // 8000 AS n_out FROM b),
+ g AS (SELECT doc_id, bytes, n_out, unnest(range(n_out)) AS i FROM s),
+ u AS (SELECT doc_id, n_out,
+              bytes[((2 * ((i * 8000) // 6000)) % 16) + 1]
+              + 256 * bytes[((2 * ((i * 8000) // 6000) + 1) % 16) + 1] AS raw
+       FROM g),
+ v AS (SELECT doc_id, n_out,
+              CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS pcm
+       FROM u)
+SELECT doc_id AS media_id, CAST(6000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels, CAST(n_out AS INT) AS n_samples,
+       round(n_out / 6000.0, 6) AS duration_s,
+       round(sqrt(avg((pcm / 32768.0) * (pcm / 32768.0))), 6) AS rms
+FROM v GROUP BY doc_id, n_out
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_quality_pipeline": q00_quality_pipeline,
     "q01_latest_version": q01_latest_version,
@@ -2715,6 +2766,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_line_dedup": q78_line_dedup,
     "q79_select_by_budget": q79_select_by_budget,
     "q80_image_resize": q80_image_resize,
+    "q81_audio_resample": q81_audio_resample,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2795,6 +2847,7 @@ _ORACLES: dict[str, str] = {
     "q78_line_dedup": SQL_78,
     "q79_select_by_budget": SQL_79,
     "q80_image_resize": SQL_80,
+    "q81_audio_resample": SQL_81,
 }
 
 

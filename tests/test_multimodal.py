@@ -326,3 +326,51 @@ def test_resize_box_and_edges(spark):
         multimodal.resize_images(df, 0, 4)
     with pytest.raises(ValueError):
         multimodal.resize_images(df, 4, 4, method="bilinear")
+
+
+# ---- audio resample ----
+
+def test_resample_audio_matches_numpy_and_stdlib(spark):
+    import io
+    import wave
+
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    pcms = {i: rng.randint(-32768, 32768, size=300 + 40 * i).astype("<i2") for i in range(3)}
+    df = spark.createDataFrame(
+        [(i, bytearray(multimodal._encode_wav(p, 8000))) for i, p in pcms.items()],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in multimodal.resample_audio(df, 6000).collect()}
+    for i, pcm in pcms.items():
+        n_out = (len(pcm) * 6000) // 8000
+        idx = (np.arange(n_out) * 8000) // 6000
+        got = multimodal._wav_pcm(bytes(out[i]["payload"]))
+        assert got[0] == 6000
+        np.testing.assert_array_equal(got[1], pcm[idx], err_msg=f"wav {i}")
+        # the re-encoded container is a byte-valid WAV per the stdlib
+        with wave.open(io.BytesIO(bytes(out[i]["payload"]))) as wf:
+            assert wf.getframerate() == 6000
+            assert wf.getnchannels() == 1
+            assert wf.getnframes() == n_out
+
+
+def test_resample_audio_edges(spark):
+    import numpy as np
+    import pytest
+
+    # upsampling: 4000 -> 9000 repeats nearest samples
+    pcm = np.arange(-5, 5, dtype="<i2")
+    df = spark.createDataFrame(
+        [(0, bytearray(multimodal._encode_wav(pcm, 4000))),
+         (1, bytearray(b"garbage-not-a-riff-wave"))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in multimodal.resample_audio(df, 9000).collect()}
+    got = multimodal._wav_pcm(bytes(out[0]["payload"]))
+    n_out = (10 * 9000) // 4000
+    np.testing.assert_array_equal(got[1], pcm[(np.arange(n_out) * 4000) // 9000])
+    assert out[1]["payload"] is None and out[1]["sample_rate"] == 0
+    with pytest.raises(ValueError):
+        multimodal.resample_audio(df, 0)

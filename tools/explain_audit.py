@@ -139,6 +139,9 @@ CHECKS = {
     # must prune to the two columns the payload derives from (the
     # meta map and lang/source/n_chars never reach the scan)
     "q80_image_resize": ["MapInPandas", "ReadSchema: struct<doc_id:bigint,text:string>"],
+    # audio resample chain: same shape — Arrow stages over a scan
+    # pruned to the two payload-deriving columns
+    "q81_audio_resample": ["MapInPandas", "ReadSchema: struct<doc_id:bigint,text:string>"],
 }
 
 

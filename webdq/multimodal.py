@@ -666,3 +666,114 @@ def resize_images(
             yield pd.DataFrame(rows, columns=[id_col, payload_col, "width", "height"])
 
     return df.select(id_col, payload_col).mapInPandas(gen, schema)
+
+def _wav_pcm(payload: bytes) -> tuple[int, np.ndarray] | None:
+    """(sample_rate, int16 mono samples) via the real chunk walk, or
+    None for undecodable/non-PCM16-mono payloads."""
+    import struct
+
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, rate, n_ch, bits = 12, 0, 0, 16
+    data = b""
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            _, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz % 2)
+    if not rate or n_ch != 1 or bits != 16:
+        return None
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def _encode_wav(pcm: np.ndarray, rate: int) -> bytes:
+    import struct
+
+    data = np.ascontiguousarray(pcm, dtype="<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def wav_media_from_documents(spark, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE PCM16 payloads derived deterministically from
+    the driver's documents table: n_samples = 100 + doc_id % 200,
+    samples cycle the 16 md5(text) bytes as little-endian int16 pairs
+    (the audio twin of ``ppm_media_from_documents``'s pixel cycle) —
+    every decoded statistic is recomputable from (doc_id, md5(text))
+    by pure arithmetic, which is what gives audio ops a value-exact
+    oracle (q81)."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = []
+            for did, text in zip(b["doc_id"], b["text"]):
+                digest = hashlib.md5((text or "").encode("utf-8")).digest()
+                n_samp = 100 + int(did) % 200
+                raw = (digest * ((2 * n_samp) // 16 + 1))[: 2 * n_samp]
+                pcm = np.frombuffer(raw, dtype="<i2")
+                payloads.append(_encode_wav(pcm, 8000))
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"].to_numpy(),
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "meta": [{"source": "documents-wav"}] * len(b),
+                }
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return d.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def resample_audio(
+    df: DataFrame,
+    out_rate: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Sample-rate conversion for PCM16-mono WAV payloads (decode →
+    nearest-sample resample → WAV re-encode, Arrow ``mapInPandas``) —
+    the audio member of the resize family. INTEGER index arithmetic:
+    n_out = (n_in · out_rate) // in_rate, out[i] = in[(i · in_rate) //
+    out_rate] — engine-replayable, so the q81 oracle recomputes the
+    resampled stream's statistics arithmetically (the standard
+    production resampler would be windowed-sinc; nearest is the
+    deterministic baseline, same trade as image nearest vs box).
+    Undecodable/non-PCM16-mono payloads yield (NULL, 0) — total, no
+    task failure."""
+    if out_rate <= 0:
+        raise ValueError(f"out_rate must be positive, got {out_rate}")
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(payload_col, T.BinaryType()),
+            T.StructField("sample_rate", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b[id_col], b[payload_col]):
+                dec = _wav_pcm(bytes(payload) if payload is not None else None)
+                if dec is None:
+                    rows.append((mid, None, 0))
+                    continue
+                in_rate, pcm = dec
+                n_out = (len(pcm) * out_rate) // in_rate
+                idx = (np.arange(n_out) * in_rate) // out_rate
+                rows.append((mid, _encode_wav(pcm[idx], out_rate), out_rate))
+            yield pd.DataFrame(rows, columns=[id_col, payload_col, "sample_rate"])
+
+    return df.select(id_col, payload_col).mapInPandas(gen, schema)
