@@ -2676,6 +2676,45 @@ FROM v GROUP BY doc_id, n_out
 """
 
 
+def q82_video_frame_sample(spark, sf_dir):
+    """Video frame sampling + per-frame features, value-exact: REAL
+    AVI container build (RIFF/hdrl/movi '00db' chunks) → REAL
+    chunk-walk parse + every-2nd-frame sampling
+    (multimodal.sample_frames_avi) → per-frame stats
+    (frame_features). One media item per documents row; the synth
+    pixel rule byte = (id·31 + frame·7 + idx) mod 256 over the padded
+    DIB row grid is pure arithmetic, so DuckDB recomputes every
+    sampled frame's length and mean byte — the container writer, the
+    parser, the sampling stride and the padding arithmetic all sit
+    under one value hash. First value-exact oracle for the video
+    family (previously pytest-only)."""
+    from webdq import multimodal
+
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    media = multimodal.synth_avi_media(spark, n)
+    frames = multimodal.sample_frames_avi(media, every=2)
+    out = multimodal.frame_features(frames)
+    return out.select(
+        "media_id", "frame_no", "n_bytes", F.round("mean_byte", 6).alias("mean_byte")
+    )
+
+
+SQL_82 = """
+WITH ids AS (SELECT doc_id AS mid, 8 + doc_id % 8 AS w, 6 + doc_id % 5 AS h,
+                    2 + doc_id % 7 AS nf
+             FROM documents),
+ dims AS (SELECT mid, nf, ((w * 3 + 3) // 4) * 4 * h AS fbytes FROM ids),
+ f AS (SELECT mid, fbytes, unnest(range(0, nf, 2)) AS frame_no FROM dims),
+ px AS (SELECT mid, frame_no, fbytes, unnest(range(fbytes)) AS idx FROM f),
+ v AS (SELECT mid, frame_no, fbytes,
+              (mid * 31 + frame_no * 7 + idx) % 256 AS byte
+       FROM px)
+SELECT mid AS media_id, CAST(frame_no AS INT) AS frame_no,
+       CAST(fbytes AS BIGINT) AS n_bytes, round(avg(byte), 6) AS mean_byte
+FROM v GROUP BY mid, frame_no, fbytes
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_quality_pipeline": q00_quality_pipeline,
     "q01_latest_version": q01_latest_version,
@@ -2767,6 +2806,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_select_by_budget": q79_select_by_budget,
     "q80_image_resize": q80_image_resize,
     "q81_audio_resample": q81_audio_resample,
+    "q82_video_frame_sample": q82_video_frame_sample,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2848,6 +2888,7 @@ _ORACLES: dict[str, str] = {
     "q79_select_by_budget": SQL_79,
     "q80_image_resize": SQL_80,
     "q81_audio_resample": SQL_81,
+    "q82_video_frame_sample": SQL_82,
 }
 
 

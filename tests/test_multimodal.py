@@ -374,3 +374,19 @@ def test_resample_audio_edges(spark):
     assert out[1]["payload"] is None and out[1]["sample_rate"] == 0
     with pytest.raises(ValueError):
         multimodal.resample_audio(df, 0)
+
+
+def test_frame_features_matches_numpy(spark):
+    import numpy as np
+
+    media = multimodal.synth_avi_media(spark, 6, partitions=2)
+    out = multimodal.frame_features(multimodal.sample_frames_avi(media, every=2)).collect()
+    assert len(out) > 0
+    for r in out:
+        mid = r["media_id"]
+        w, h = 8 + mid % 8, 6 + mid % 5
+        fbytes = ((w * 3 + 3) // 4) * 4 * h
+        exp = multimodal._avi_frame_bytes(mid, r["frame_no"], w, h)
+        assert r["n_bytes"] == fbytes
+        assert abs(r["mean_byte"] - float(np.frombuffer(exp, dtype=np.uint8).mean())) < 1e-12
+        assert r["frame_no"] % 2 == 0

@@ -777,3 +777,39 @@ def resample_audio(
             yield pd.DataFrame(rows, columns=[id_col, payload_col, "sample_rate"])
 
     return df.select(id_col, payload_col).mapInPandas(gen, schema)
+
+FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("mean_byte", T.DoubleType(), True),
+    ]
+)
+
+
+def frame_features(df: DataFrame) -> DataFrame:
+    """Per-sampled-frame statistics (media_id, frame_no, n_bytes,
+    mean_byte) over ``sample_frames_avi`` output — the
+    feature-extraction step that follows frame sampling in a video
+    pipeline. A ≤frame-size integer byte sum is exact in doubles, so
+    the mean is engine-replayable (the q82 oracle)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, fno, fr in zip(b["media_id"], b["frame_no"], b["frame"]):
+                body = np.frombuffer(bytes(fr), dtype=np.uint8)
+                rows.append(
+                    (int(mid), int(fno), len(body), float(body.mean()) if len(body) else 0.0)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": np.array([r[0] for r in rows], dtype=np.int64),
+                    "frame_no": np.array([r[1] for r in rows], dtype=np.int32),
+                    "n_bytes": np.array([r[2] for r in rows], dtype=np.int64),
+                    "mean_byte": np.array([r[3] for r in rows], dtype=np.float64),
+                }
+            )
+
+    return df.select("media_id", "frame_no", "frame").mapInPandas(gen, FRAME_FEATURES_SCHEMA)
