@@ -266,3 +266,63 @@ def test_salted_agg_equals_direct_property(rows, buckets):
     got = {r["k"]: (r["n"], r["s"], round(r["a"], 9), r["mx"]) for r in out.collect()}
     want = {r["k"]: (r["n"], r["s"], round(r["a"], 9), r["mx"]) for r in direct.collect()}
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["nav", "foo", "bar", "baz qux", ""]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    min_count=st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_line_dedup_idempotent(texts, min_count):
+    """For ANY corpus: after one line-dedup pass every surviving
+    duplicate-line count is < min_count, so a second pass is the
+    identity."""
+    from webdq import dedup
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    once = dedup.line_dedup_corpus(df, min_count=min_count)
+    twice = dedup.line_dedup_corpus(
+        once.withColumnRenamed("text_deduped", "text"), min_count=min_count
+    )
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=1, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    ),
+    b1=st.integers(min_value=1, max_value=300),
+    extra=st.integers(min_value=0, max_value=300),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_select_by_budget_monotone(rows, b1, extra):
+    """For ANY corpus: raising the budget only ever ADDS documents
+    (the greedy prefix is monotone in the budget)."""
+    from webdq import mixing
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, float(s), t) for i, s, t in rows], "doc_id long, score double, n_tokens int"
+    )
+    small = set(r["doc_id"] for r in mixing.select_by_budget(df, b1, n_buckets=8).collect())
+    big = set(
+        r["doc_id"] for r in mixing.select_by_budget(df, b1 + extra, n_buckets=8).collect()
+    )
+    assert small <= big
