@@ -2715,6 +2715,41 @@ FROM v GROUP BY mid, frame_no, fbytes
 """
 
 
+def q83_hash_split(spark, sf_dir):
+    """Deterministic GROUP-AWARE train/valid/test split
+    (mixing.hash_split): u = first 15 hex digits of md5(host) as a
+    60-bit integer vs python-computed integer thresholds — no float
+    comparison, no randomness, pure projection. Splitting by HOST
+    (not doc) is the leakage guard a web corpus needs: near-duplicate
+    pages of one site never straddle train/test. DuckDB replays the
+    identical hex-parse + threshold CASE (the q67b md5→int pattern);
+    the thresholds are shared LITERALS from mixing.split_cuts, not
+    re-derived (0.8+0.1 ≠ 0.9 in IEEE)."""
+    from webdq import mixing
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("source"), F.lit(".example")).alias("host")
+    )
+    return mixing.hash_split(
+        d, {"train": 0.8, "valid": 0.1, "test": 0.1}, by_col="host"
+    )
+
+
+def _sql_83():
+    from webdq.mixing import split_cuts
+
+    t1, t2 = split_cuts([0.8, 0.1, 0.1])
+    return f"""
+SELECT doc_id, host,
+       CASE WHEN h < {t1} THEN 'train'
+            WHEN h < {t2} THEN 'valid'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, source || '.example' AS host,
+             ('0x' || substr(md5(source || '.example'), 1, 15))::BIGINT AS h
+      FROM documents)
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q00_quality_pipeline": q00_quality_pipeline,
     "q01_latest_version": q01_latest_version,
@@ -2807,6 +2842,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_image_resize": q80_image_resize,
     "q81_audio_resample": q81_audio_resample,
     "q82_video_frame_sample": q82_video_frame_sample,
+    "q83_hash_split": q83_hash_split,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2889,6 +2925,7 @@ _ORACLES: dict[str, str] = {
     "q80_image_resize": SQL_80,
     "q81_audio_resample": SQL_81,
     "q82_video_frame_sample": SQL_82,
+    "q83_hash_split": _sql_83(),
 }
 
 

@@ -267,3 +267,41 @@ def test_select_by_budget_keep_all_and_invariance(spark):
 
     with pytest.raises(ValueError):
         mixing.select_by_budget(df, 0)
+
+
+# ---- hash_split ----
+
+def test_hash_split_deterministic_group_aware(spark):
+    import hashlib
+
+    import pytest
+
+    rows = [(i, f"h{i % 23}.example") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    out = mixing.hash_split(
+        df, {"train": 0.8, "valid": 0.1, "test": 0.1}, by_col="host"
+    ).collect()
+    # group-aware: every doc of a host lands in the same split
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_host.values())
+    # python replay of the md5-threshold rule
+    cuts = mixing.split_cuts([0.8, 0.1, 0.1])
+    for r in out[:50]:
+        h = int(hashlib.md5(r["host"].encode()).hexdigest()[:15], 16)
+        exp = "train" if h < cuts[0] else ("valid" if h < cuts[1] else "test")
+        assert r["split"] == exp, r
+    # doc-level split: realized fractions near nominal on 600 ids
+    doc = mixing.hash_split(df, {"a": 0.5, "b": 0.5}).collect()
+    n_a = sum(1 for r in doc if r["split"] == "a")
+    assert 240 <= n_a <= 360
+    # split is stable under repartitioning
+    rep = mixing.hash_split(
+        df.repartition(7), {"train": 0.8, "valid": 0.1, "test": 0.1}, by_col="host"
+    ).collect()
+    assert {(r["doc_id"], r["split"]) for r in rep} == {(r["doc_id"], r["split"]) for r in out}
+    with pytest.raises(ValueError):
+        mixing.hash_split(df, {"only": 1.0})
+    with pytest.raises(ValueError):
+        mixing.hash_split(df, {"a": 0.5, "b": 0.2})

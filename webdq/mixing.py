@@ -263,3 +263,48 @@ def select_by_budget(
     )
     helpers = ["_bkt", "_prev", "_boundary"]
     return full.drop(*helpers).unionByName(border.drop(*helpers, "_cum_in"))
+
+def split_cuts(fractions: list[float]) -> list[int]:
+    """Integer md5-space thresholds for ``hash_split`` — exposed so an
+    oracle can embed the IDENTICAL literals (the cumulative float sum
+    is reproduced, not re-derived: 0.8+0.1 != 0.9 in IEEE)."""
+    M = 16**15
+    cuts, c = [], 0.0
+    for f in fractions[:-1]:
+        c += f
+        cuts.append(int(c * M))
+    return cuts
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    by_col: str | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test corpus split: u = first 15 hex
+    digits of md5(key) as a 60-bit integer, split = first name whose
+    cumulative-fraction threshold exceeds u. Pure projection — no
+    shuffle, no randomness, reproducible across engines and runs
+    (md5 + integer thresholds; no float comparison anywhere).
+
+    ``by_col`` makes the split GROUP-AWARE — e.g. ``by_col="host"``
+    lands every page of a host in the same split, the leakage guard a
+    web corpus actually needs (doc-level splits leak near-duplicate
+    pages from one site across train/test). Group sizes skew the
+    realized fractions; at web scale (many hosts) they concentrate.
+    Fractions must sum to 1 (±1e-3); the last split absorbs the
+    md5-space rounding remainder."""
+    names = list(fractions)
+    fr = [float(fractions[n]) for n in names]
+    if len(names) < 2:
+        raise ValueError("need at least two splits")
+    if any(f <= 0 for f in fr) or not 0.999 <= sum(fr) <= 1.001:
+        raise ValueError(f"fractions must be positive and sum to 1, got {fractions}")
+    key = F.col(by_col if by_col is not None else id_col).cast("string")
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    w = None
+    for name, cut in zip(names[:-1], split_cuts(fr)):
+        w = F.when(h < cut, name) if w is None else w.when(h < cut, name)
+    return df.withColumn(out_col, w.otherwise(names[-1]))
