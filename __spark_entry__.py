@@ -960,7 +960,13 @@ def q36_lsh_ann(spark, sf_dir):
     seeded hyperplanes), so the approximate plan must reproduce the
     exact ranking bit-for-bit — a real correctness gate for the whole
     bucket-join + re-rank machinery. pytest additionally gates recall
-    ≥ 0.8 on an independent fixture (tests/test_similarity.py)."""
+    ≥ 0.8 on an independent fixture (tests/test_similarity.py).
+    SCALE NOTE: the recall-1 coverage is a property of THIS config at
+    the driver's sf0.01 fixture (verified) and sf0.1; at sf0.001 (60
+    vectors, sparser buckets) one query's tail entry differs from the
+    exact oracle — expected sub-exhaustive-ANN behavior, which is
+    exactly why q36 is approximate and q33/q47 carry the exact
+    gates."""
     from webdq import similarity
 
     e = _t(spark, sf_dir, "embeddings")
