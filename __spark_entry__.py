@@ -2513,8 +2513,11 @@ def q78_line_dedup(spark, sf_dir):
     """Corpus-wide line-level dedup with document reconstruction
     (C4/CCNet boilerplate removal — dedup.line_dedup_corpus): lines
     whose fingerprint occurs ≥ 2 times anywhere in the corpus keep
-    only their first (id, idx) occurrence, docs are reassembled in
-    order. Runs over the q56 deterministic 2-token-line view (the
+    only their first (id, idx) occurrence; EMPTY lines pass through
+    unconditionally (blank lines aren't boilerplate evidence, and the
+    pass must be idempotent — an all-dropped doc reconstructs as ""),
+    docs are reassembled in order. Runs over the q56 deterministic
+    2-token-line view (the
     fixture text is single-line). Skew-safe shape: fingerprint
     groupBy with min-(id,idx)-struct (one row per distinct line even
     for a 10^9-occurrence navbar line) + join back — no per-key
@@ -2546,7 +2549,7 @@ WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM doc
               count(*) OVER (PARTITION BY md5(line)) AS n,
               row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, idx) AS rn
        FROM l),
- kept AS (SELECT doc_id, idx, line FROM k WHERE n < 2 OR rn = 1),
+ kept AS (SELECT doc_id, idx, line FROM k WHERE line = '' OR n < 2 OR rn = 1),
  reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text_deduped
          FROM kept GROUP BY doc_id)
 SELECT t.doc_id, coalesce(reb.text_deduped, '') AS text_deduped

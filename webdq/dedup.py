@@ -462,8 +462,16 @@ def line_dedup_corpus(
     whose md5 fingerprint occurs ≥ ``min_count`` times in the whole
     corpus keeps only its FIRST occurrence (minimum (id, line_idx),
     deterministic and partition-invariant); rarer lines pass through.
-    Documents are reassembled in original line order; every input
-    document appears in the output (possibly as an empty string).
+    EMPTY lines pass through unconditionally: blank lines are not
+    boilerplate evidence (C4/CCNet semantics), and — crucially for
+    idempotence — reconstruction maps an all-lines-dropped document
+    to ``""``, i.e. one NEW empty line; if empty lines participated
+    in the fingerprint stats, a second pass could see a higher
+    empty-line count and delete lines the first pass kept (found by
+    hypothesis: ``texts=[[], ['nav']*3+[''], [], ['nav']],
+    min_count=4``). Documents are reassembled in original line
+    order; every input document appears in the output (possibly as
+    an empty string).
 
     Scale shape: posexplode lines → one hash groupBy on the line
     fingerprint (map-side combined; a boilerplate line with 10^9
@@ -471,9 +479,14 @@ def line_dedup_corpus(
     skew-safe alternative to row_number-over-fingerprint) + min of a
     (id, idx) struct for the first occurrence → equi-join back (stats
     side has one row per distinct line) → one groupBy on the unique
-    doc id to rebuild. Within-doc variant: ``textprep.
-    dedup_consecutive_lines``; whole-doc exact variant:
-    ``exact_dedup``."""
+    doc id to rebuild. Empty lines bypass the join entirely (union
+    after), so the hottest key in any web corpus — md5("") — never
+    enters the shuffle. The join-back still hash-partitions all
+    occurrences of a hot non-empty fingerprint into one task; the
+    build side is one row per key, so AQE skew-join splitting
+    (spark.sql.adaptive.skewJoin) handles it — leave AQE on at
+    scale. Within-doc variant: ``textprep.dedup_consecutive_lines``;
+    whole-doc exact variant: ``exact_dedup``."""
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     lines = df.select(
@@ -482,15 +495,23 @@ def line_dedup_corpus(
             F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
         ).alias("_idx", "_line"),
     ).withColumn("_fp", F.md5(F.col("_line")))
-    stats = lines.groupBy("_fp").agg(
+    nonempty = lines.filter(F.col("_line") != "")
+    stats = nonempty.groupBy("_fp").agg(
         F.count(F.lit(1)).alias("_n"),
         F.min(F.struct(F.col(id_col), F.col("_idx"))).alias("_first"),
     )
-    kept = lines.join(stats, "_fp").filter(
-        (F.col("_n") < int(min_count))
-        | (
-            (F.col(id_col) == F.col("_first")[id_col])
-            & (F.col("_idx") == F.col("_first._idx"))
+    kept = (
+        nonempty.join(stats, "_fp")
+        .filter(
+            (F.col("_n") < int(min_count))
+            | (
+                (F.col(id_col) == F.col("_first")[id_col])
+                & (F.col("_idx") == F.col("_first._idx"))
+            )
+        )
+        .select(id_col, "_idx", "_line")
+        .unionByName(
+            lines.filter(F.col("_line") == "").select(id_col, "_idx", "_line")
         )
     )
     rebuilt = (
