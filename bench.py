@@ -395,11 +395,19 @@ def _write_bench_md(result: dict, s: dict, n_docs: int, rec: dict) -> None:
         w28 = rec.get("2to8")
         if w28:
             quiet = sorted(w28.get("efficiency_rounds", []))[-3:]
+            # older/budget-truncated records may lack per-round ratios;
+            # fall back to the best estimator so the sentence never
+            # renders an empty list (ADVICE r5)
+            quiet_s = (
+                "/".join(f"{q:.2f}" for q in quiet)
+                if quiet
+                else f"{w28['efficiency_best']:.2f} (best; per-round ratios unavailable)"
+            )
             lines += [
                 f"The 2→8 window is **recorded, not claimed** (best",
                 f"{w28['efficiency_best']:.3f} / median {w28['efficiency_median']:.3f}).",
                 "Why: its per-round ratios reach "
-                + "/".join(f"{q:.2f}" for q in quiet)
+                + quiet_s
                 + " in contention-free rounds — the engine scales — but",
                 "local[2] walls drift upward over an hour-long run on this",
                 "SHARED host while local[8] walls do not, so co-tenant drift",

@@ -390,3 +390,59 @@ def test_frame_features_matches_numpy(spark):
         assert r["n_bytes"] == fbytes
         assert abs(r["mean_byte"] - float(np.frombuffer(exp, dtype=np.uint8).mean())) < 1e-12
         assert r["frame_no"] % 2 == 0
+
+
+def test_corrupt_but_magic_matching_payloads_are_total(spark):
+    """ADVICE r5: payloads whose MAGIC matches but whose body is
+    truncated/unsupported must take the documented (NULL, 0) path, not
+    kill the Spark task — truncated JPEG/PNG through resize_images,
+    truncated-fmt / odd-length-data WAV through resample_audio and
+    decode_audio_features."""
+    import numpy as np
+
+    from webdq.jpegcodec import encode_jpeg
+    from webdq.pngcodec import encode_png
+
+    img = np.full((4, 4, 3), 50, dtype=np.uint8)
+    good_jpeg = encode_jpeg(img, quality=90)
+    pcm = np.arange(-8, 8, dtype="<i2")
+    good_wav = multimodal._encode_wav(pcm, 8000)
+
+    bad_images = [
+        good_jpeg[: len(good_jpeg) // 2],        # truncated JPEG body
+        b"\xff\xd8\xff\xe0trash",                # JPEG magic, garbage
+        encode_png(img)[:20],                    # truncated PNG
+        b"\x89PNG\r\n\x1a\n\x00\x00",            # PNG magic, no chunks
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(bad_images)],
+        "media_id long, payload binary",
+    )
+    for r in multimodal.resize_images(df, 3, 3).collect():
+        assert r["payload"] is None and r["width"] == 0 and r["height"] == 0
+
+    import struct
+
+    # fmt chunk TRUNCATED by the payload end (a junk chunk pushes it to
+    # the tail): the old parser raised struct.error here
+    w_trunc_fmt = (
+        b"RIFF" + struct.pack("<I", 42) + b"WAVE"
+        + b"JUNK" + struct.pack("<I", 20) + b"\x00" * 20
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+    )
+    assert len(w_trunc_fmt) >= 44
+    # odd-length data tail: the old parser raised ValueError in
+    # np.frombuffer; now the even prefix (here empty) decodes
+    w_odd = good_wav[:44] + b"\x01"
+    dfw = spark.createDataFrame(
+        [(0, bytearray(w_trunc_fmt)), (1, bytearray(w_odd))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in multimodal.resample_audio(dfw, 4000).collect()}
+    assert out[0]["payload"] is None and out[0]["sample_rate"] == 0
+    assert out[1]["payload"] is not None and out[1]["sample_rate"] == 4000
+    assert multimodal._wav_pcm(bytes(out[1]["payload"]))[1].size == 0
+    feats = {r["media_id"]: r for r in multimodal.decode_audio_features(
+        dfw.select("media_id", "payload")).collect()}
+    assert feats[0]["sample_rate"] == 0 and feats[0]["n_samples"] == 0
+    assert feats[1]["sample_rate"] == 8000 and feats[1]["n_samples"] == 0

@@ -194,12 +194,15 @@ def select_by_budget(
     id_col: str = "doc_id",
     n_buckets: int = 1024,
 ) -> DataFrame:
-    """Budget-constrained corpus selection: keep the GREEDY PREFIX of
-    documents in (score desc, md5(id), id) order whose running token
-    sum stays ≤ ``budget`` — the "best documents up to a 10^12-token
-    budget" step a classifier-scored pretraining corpus runs last
-    (prefix semantics: the first document that would overflow the
-    budget stops the selection; nothing after it is skipped into).
+    """Budget-constrained corpus selection: keep the documents whose
+    RUNNING token sum in (score desc, md5(id), id) order fits within
+    ``budget`` — the "best documents up to a 10^12-token budget" step a
+    classifier-scored pretraining corpus runs last. With strictly
+    positive token counts this is exactly the greedy prefix (the first
+    overflowing document stops the selection); a ZERO-token document
+    ordered after the first overflow is still selected, since it fits
+    the budget by definition — the running-sum contract (shared with
+    the q79 oracle) is the authoritative one.
 
     Exact WITHOUT a global single-partition sort: scores are range-
     bucketed (affine map over the min/max from one 1-row aggregate —

@@ -324,26 +324,46 @@ def synth_wav_media(spark, n: int, partitions: int = 8, sample_rate: int = 8000)
     return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def _decode_wav(payload: bytes) -> tuple[int, int, int, float, float]:
-    """Pure-numpy RIFF/WAVE PCM16 parser: walks the chunk list to
-    'fmt ' and 'data' (the real container layout, not a fixed offset)."""
+def _wav_chunks(payload: bytes | None) -> tuple[int, int, int, bytes] | None:
+    """Shared RIFF/WAVE chunk walk → (sample_rate, n_channels, bits,
+    raw data bytes), or None for non-WAV payloads. The SINGLE place
+    WAV container parsing lives (used by both ``decode_audio_features``
+    and ``resample_audio``'s ``_wav_pcm``). TOTAL over arbitrary
+    bytes: a truncated 'fmt ' chunk returns None instead of raising
+    struct.error, and a 'data' size field that overruns the payload is
+    clipped by the slice — untrusted shards must never kill a task."""
     import struct
 
     if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        return 0, 0, 0, 0.0, 0.0
-    pos, rate, n_ch, bits = 12, 0, 0, 16
+        return None
+    pos, rate, n_ch, bits = 12, 0, 0, 0
     data = b""
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         if cid == b"fmt ":
+            if pos + 24 > len(payload):
+                return None
             _, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])
         elif cid == b"data":
             data = payload[pos + 8 : pos + 8 + sz]
         pos += 8 + sz + (sz % 2)
-    if not rate or not n_ch or bits != 16:
+    if not rate or not n_ch:
+        return None
+    return rate, n_ch, bits, data
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, float, float]:
+    """Pure-numpy RIFF/WAVE PCM16 parser: walks the chunk list to
+    'fmt ' and 'data' (the real container layout, not a fixed offset)."""
+    dec = _wav_chunks(bytes(payload) if payload is not None else None)
+    if dec is None:
         return 0, 0, 0, 0.0, 0.0
-    pcm = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    rate, n_ch, bits, data = dec
+    if bits != 16:
+        return 0, 0, 0, 0.0, 0.0
+    # clip odd-length data (truncated tail) so frombuffer can't raise
+    pcm = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.float64) / 32768.0
     n_samples = len(pcm) // n_ch
     dur = n_samples / rate
     rms = float(np.sqrt((pcm**2).mean())) if len(pcm) else 0.0
@@ -589,14 +609,24 @@ def _decode_rgb(payload: bytes) -> np.ndarray | None:
         if len(body) < w * h * 3:
             return None
         return body.reshape(h, w, 3)
+    # Codec calls are totalized: a payload with valid magic can still be
+    # truncated / progressive / 16-bit etc. (JpegDecodeError,
+    # NotImplementedError, struct.error, zlib.error, IndexError...).
+    # Untrusted bytes must yield None, never a task failure.
     if payload[:2] == b"\xff\xd8":
         from .jpegcodec import decode_jpeg
 
-        return decode_jpeg(payload)
+        try:
+            return decode_jpeg(payload)
+        except Exception:
+            return None
     if payload[:4] == b"\x89PNG":
         from .pngcodec import decode_png
 
-        return decode_png(payload)
+        try:
+            return decode_png(payload)
+        except Exception:
+            return None
     return None
 
 
@@ -668,25 +698,15 @@ def resize_images(
     return df.select(id_col, payload_col).mapInPandas(gen, schema)
 
 def _wav_pcm(payload: bytes) -> tuple[int, np.ndarray] | None:
-    """(sample_rate, int16 mono samples) via the real chunk walk, or
-    None for undecodable/non-PCM16-mono payloads."""
-    import struct
-
-    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+    """(sample_rate, int16 mono samples) via the shared ``_wav_chunks``
+    walk, or None for undecodable/non-PCM16-mono payloads."""
+    dec = _wav_chunks(payload)
+    if dec is None:
         return None
-    pos, rate, n_ch, bits = 12, 0, 0, 16
-    data = b""
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        if cid == b"fmt ":
-            _, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])
-        elif cid == b"data":
-            data = payload[pos + 8 : pos + 8 + sz]
-        pos += 8 + sz + (sz % 2)
-    if not rate or n_ch != 1 or bits != 16:
+    rate, n_ch, bits, data = dec
+    if n_ch != 1 or bits != 16:
         return None
-    return rate, np.frombuffer(data, dtype="<i2")
+    return rate, np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
 
 
 def _encode_wav(pcm: np.ndarray, rate: int) -> bytes:

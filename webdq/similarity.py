@@ -452,7 +452,13 @@ def pq_adc_topk(
     stage table — the index-build/index-scan split a deployment has
     anyway): scoring a lazy encode plan fuses encode + join + agg into
     one whole-stage function that overflows janino's 64 KB method
-    limit and drops the stage to interpreted execution."""
+    limit and drops the stage to interpreted execution.
+
+    Scale contract: the scoring groupBy shuffles O(|corpus|·m·|queries|)
+    rows pre-combine, so this assumes a BOUNDED query batch (the online
+    ANN-serving shape). For a huge offline query set, batch the queries
+    and loop — each batch's lut stays broadcastable and the shuffle
+    stays linear in the corpus."""
     mm = codebooks.shape[0]
     lut = pq_lut(queries, codebooks, query_id_col, vec_col)
     ex = codes.select(
