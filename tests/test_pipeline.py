@@ -137,3 +137,19 @@ def test_summarize_clusters_bounded_and_partition_invariant(spark):
     # digest reacts to membership changes (not a constant)
     c = summarize_clusters(df.withColumn("keep", ~F.col("keep"))).toPandas().set_index("cluster").sort_index()
     assert (a["kept_urls_sig"] != c["kept_urls_sig"]).any()
+
+
+def test_q00b_frozen_chain_sane(spark):
+    """q00b (the value-exact frozen-arithmetic flagship sibling): the
+    frozen model must stay meaningful on the fixture family — multiple
+    clusters populated, keep a strict nonempty subset, and the keep
+    column consistent with the frozen keep set. (Value-exactness vs
+    DuckDB is covered by tools/check_oracle.py.)"""
+    import __spark_entry__ as e
+
+    out = e.q00b_quality_pipeline_frozen(spark, "/root/testdata/sf0.001").toPandas()
+    fz = e._q00b_frozen()
+    assert len(out) == 500
+    assert out["cluster"].nunique() >= 2
+    assert (out["keep"] == out["cluster"].isin(fz["keep"])).all()
+    assert 0 < out["keep"].sum() < len(out)

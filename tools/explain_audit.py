@@ -15,6 +15,16 @@ from contextlib import redirect_stdout
 sys.path.insert(0, ".")
 
 CHECKS = {
+    # frozen flagship chain: documents scan must prune to exactly the
+    # three columns the features need (no source/n_chars); the three
+    # scorer UDFs must fuse into ONE ArrowEvalPython node; the frozen
+    # scale→project→assign arithmetic is pure projection (no extra
+    # shuffle); ECDF must never collapse to a single-partition sort
+    "q00b_quality_pipeline_frozen": [
+        "ReadSchema: struct<doc_id:bigint,text:string,lang:string>",
+        "ArrowEvalPython",
+        "!Exchange SinglePartition",
+    ],
     "q21_compound_filter": ["PushedFilters: [", "ReadSchema"],
     "q01_latest_version": ["ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,event_type:string"],
     "q13_star_join": ["BroadcastHashJoin"],
