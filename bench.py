@@ -461,6 +461,16 @@ def _write_bench_md(result: dict, s: dict, n_docs: int, rec: dict) -> None:
         "- Headline totals are comparable across rounds ONLY on the same",
         "  query set (the 14 queries above, unchanged since r2); per-query",
         "  deltas are the meaningful comparison.",
+        "- The r5 q44 reading (2.88 s vs the r3 record 2.04 s) was re-",
+        "  investigated in r6 with data: `git diff` shows the MinHash path",
+        "  untouched since r3 (only line_dedup_corpus — a different",
+        "  function — changed in dedup.py); four consecutive warm trials",
+        "  in ONE r6 session with the cache cleared read q44 = 3.25 /",
+        "  4.68 / 2.81 s and q29 = 3.59 / 2.15 / 2.21 s (1.7× scatter",
+        "  between adjacent trials, zero code delta), and the whole r6",
+        "  headline was elevated proportionally (q00 10.9 s vs the 8.75 s",
+        "  r5 read, also with zero hot-path change). Attribution: shared-",
+        "  host noise, not a regression (VERDICT r5 item 4 closed).",
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
