@@ -2977,6 +2977,266 @@ FROM (SELECT doc_id, source || '.example' AS host,
 """
 
 
+def q84_span_dedup(spark, sf_dir):
+    """Corpus-wide exact substring (token-span) dedup — the Lee et al.
+    2021 ExactSubstr step (dedup.span_dedup_corpus) at k=4 over the
+    raw document text (the fixture has ~6% naturally duplicated
+    4-grams): every NON-FIRST occurrence of a 4-token window seen >= 2
+    times anywhere in the corpus is excised, and documents are
+    reassembled from the surviving tokens. Skew-safe shape: one
+    fingerprint groupBy with a min-(id,pos) struct (a 10^9-occurrence
+    boilerplate span is ONE aggregate row), equi-join back, k-fanout
+    explode ONLY on duplicated grams, left_anti against the token
+    grid. DuckDB replays split → overlapping 4-gram grid → count /
+    first-occurrence → covered-position expansion → anti join →
+    ordered string_agg; the hash covers every reconstructed byte."""
+    from webdq import dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.span_dedup_corpus(d, k=4, min_count=2)
+
+
+SQL_84 = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+ g AS (SELECT doc_id, unnest(range(len(w) - 3)) AS gpos, w FROM t WHERE len(w) >= 4),
+ fp AS (SELECT doc_id, gpos, md5(array_to_string(w[gpos + 1 : gpos + 4], ' ')) AS f FROM g),
+ st AS (SELECT doc_id, gpos,
+               count(*) OVER (PARTITION BY f) AS n,
+               row_number() OVER (PARTITION BY f ORDER BY doc_id, gpos) AS rn
+        FROM fp),
+ rem AS (SELECT DISTINCT doc_id, tpos FROM
+          (SELECT doc_id, gpos + unnest([0, 1, 2, 3]) AS tpos
+           FROM st WHERE n >= 2 AND rn > 1)),
+ tok AS (SELECT doc_id, unnest(range(len(w))) AS tpos, w FROM t),
+ kept AS (SELECT k.doc_id, k.tpos, k.w[k.tpos + 1] AS tk
+          FROM tok k LEFT JOIN rem r ON k.doc_id = r.doc_id AND k.tpos = r.tpos
+          WHERE r.doc_id IS NULL),
+ reb AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY tpos) AS text_deduped
+         FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(reb.text_deduped, '') AS text_deduped
+FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+"""
+
+
+def q85_temperature_mix(spark, sf_dir):
+    """Temperature-scaled domain mixing (mixing.temperature_mix,
+    Conneau & Lample '19 / mT5 rebalance): per (lang, source) stratum
+    keep min(n, ceil(3·n^0.5)) documents by md5(id)-rank — flattens
+    the domain distribution toward uniform. tau = 0.5 makes the whole
+    keep-count arithmetic IEEE-exact (sqrt and multiply are correctly
+    rounded), so the oracle reproduces every boundary bit-for-bit
+    with NO frozen literals: DuckDB re-derives the counts, the curve,
+    and the md5 ranks from the raw table."""
+    from webdq import mixing
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return mixing.temperature_mix(d, ["lang", "source"], tau=0.5, scale=3.0)
+
+
+SQL_85 = """
+WITH c AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source),
+ k AS (SELECT lang, source,
+              least(n, CAST(ceil(3.0 * sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS kp
+       FROM c),
+ r AS (SELECT d.doc_id, d.lang, d.source, k.kp,
+              row_number() OVER (PARTITION BY d.lang, d.source
+                                 ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+       FROM documents d JOIN k ON d.lang = k.lang AND d.source = k.source)
+SELECT doc_id, lang, source FROM r WHERE rn <= kp
+"""
+
+
+_SEMDEDUP_K, _SEMDEDUP_DIM = 4, 64
+
+
+def _semdedup_centroid(j: int, t: int) -> float:
+    return ((5 * j + 11 * t) % 17) / 17.0 - 0.5
+
+
+def q86_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023 — dedup.semantic_dedup): embeddings
+    are assigned to their nearest of 4 frozen arithmetic centroids
+    (the q72/q77 frozen-model pattern; production uses ml.fit_kmeans
+    centroids), and a vector is flagged duplicate iff a smaller-id
+    vector in the SAME cluster has cosine >= 0.4 — cluster blocking
+    makes embedding dedup sub-quadratic (cluster equi-join, never a
+    cross join). Every float (64-term assignment distances, norms,
+    pair dots, the division) is a fixed left-assoc fold, so DuckDB
+    replays assignment AND pair screening bit-for-bit."""
+    from webdq import dedup
+
+    cents = [
+        [_semdedup_centroid(j, t) for t in range(_SEMDEDUP_DIM)]
+        for j in range(_SEMDEDUP_K)
+    ]
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return dedup.semantic_dedup(e, cents, threshold=0.4)
+
+
+def _sql_86():
+    """Generated oracle for q86: unrolled fixed-order folds (same
+    left-assoc order as dedup._fold_sqdist/_fold_dot), first-min CASE
+    assignment, within-cluster pair screen, LEFT JOIN dup flag."""
+    kk, dim = _SEMDEDUP_K, _SEMDEDUP_DIM
+
+    def dist(j):
+        terms = []
+        for t in range(dim):
+            x = f"(CAST(embedding[{t + 1}] AS DOUBLE) - ({_semdedup_centroid(j, t)!r}))"
+            terms.append(f"({x} * {x})")
+        return " + ".join(terms)
+
+    nrm = " + ".join(
+        f"(CAST(embedding[{t + 1}] AS DOUBLE) * CAST(embedding[{t + 1}] AS DOUBLE))"
+        for t in range(dim)
+    )
+    pdot = " + ".join(
+        f"(CAST(x.embedding[{t + 1}] AS DOUBLE) * CAST(y.embedding[{t + 1}] AS DOUBLE))"
+        for t in range(dim)
+    )
+    d_cols = ", ".join(f"({dist(j)}) AS dc{j}" for j in range(kk))
+    least = "least(" + ", ".join(f"dc{j}" for j in range(kk)) + ")"
+    whens = " ".join(f"WHEN dc{j} = {least} THEN {j}" for j in range(kk - 1))
+    return f"""
+WITH d AS (SELECT vec_id, embedding, {d_cols}, sqrt({nrm}) AS nm FROM embeddings),
+ a AS (SELECT vec_id, embedding, nm, CASE {whens} ELSE {kk - 1} END AS cl FROM d),
+ p AS (SELECT DISTINCT y.vec_id AS dup_id
+       FROM a x JOIN a y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       WHERE ({pdot}) / (x.nm * y.nm) >= 0.4)
+SELECT a.vec_id, CAST(a.cl AS INT) AS cluster,
+       (p.dup_id IS NOT NULL) AS is_dup
+FROM a LEFT JOIN p ON a.vec_id = p.dup_id
+"""
+
+
+def q87_bigram_lm(spark, sf_dir):
+    """Count-based bigram-LM quality scoring (textprep.bigram_lm_score
+    — the CCNet/Wenzek '20 perplexity-filter shape, with the LM as two
+    exact count aggregations): each document's mean log transition
+    probability under add-1 smoothing, self-scored against the corpus
+    itself. Counts and V are exact integers; the per-doc mean is the
+    only float aggregate, rounded to 6dp on both sides (sum order is
+    engine-nondeterministic; the ~1e-14 accumulation error is 8 orders
+    of magnitude inside the rounding step). DuckDB re-derives the
+    transition counts, vocabulary, smoothing, and mean from scratch."""
+    from webdq import textprep
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = textprep.bigram_lm_score(d)
+    return out.select(
+        "doc_id",
+        F.round(F.col("avg_logprob"), 6).alias("avg_logprob"),
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+    )
+
+
+SQL_87 = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+ tr AS (SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+              FROM t WHERE len(w) >= 2)),
+ big AS (SELECT prev, cur, count(*) AS cb FROM tr GROUP BY prev, cur),
+ ctx AS (SELECT prev, sum(cb) AS cc FROM big GROUP BY prev),
+ v AS (SELECT count(DISTINCT tok) AS nv
+       FROM (SELECT unnest(w) AS tok FROM t) WHERE tok <> ''),
+ sc AS (SELECT s.doc_id,
+               sum(ln((b.cb + 1.0) / (c.cc + 1.0 * v.nv))) / count(*) AS lp,
+               count(*) AS nt
+        FROM tr s
+        JOIN big b ON s.prev = b.prev AND s.cur = b.cur
+        JOIN ctx c ON s.prev = c.prev
+        CROSS JOIN v
+        GROUP BY s.doc_id)
+SELECT t.doc_id, round(sc.lp, 6) AS avg_logprob,
+       CAST(coalesce(sc.nt, 0) AS BIGINT) AS n_transitions
+FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
+"""
+
+
+def q88_canonical_url(spark, sf_dir):
+    """URL canonicalization (urlfilter.canonicalize_url_col — the
+    normalization BEFORE url-level exact dedup): lowercase
+    scheme/authority, strip default ports and fragments, drop
+    tracking query params (utm_*, fbclid, gclid, msclkid, ref),
+    pass non-URLs through unchanged. The input is a deterministic
+    mess synthesized from doc_id arithmetic (case-shifted schemes and
+    hosts, :80/:443 ports, tracking-first and tracking-last queries,
+    fragments, one opaque non-url branch); path case is preserved.
+    Pure native regex/string expressions — zero shuffle; DuckDB
+    replays the synthesis and every normalization rule."""
+    from webdq import urlfilter
+
+    did = F.col("doc_id")
+    s = F.col("source")
+    scheme = F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    host = F.concat(
+        F.when(did % 3 == 0, F.upper(s)).otherwise(s), F.lit(".Example")
+    )
+    port = (
+        F.when(did % 5 == 0, F.lit(":80"))
+        .when(did % 5 == 1, F.lit(":443"))
+        .otherwise(F.lit(""))
+    )
+    q = (
+        F.when(did % 4 == 0, F.concat(F.lit("?utm_source=feed&id="), did.cast("string")))
+        .when(did % 4 == 1, F.concat(F.lit("?id="), did.cast("string"), F.lit("&utm_campaign=x")))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(did % 7 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    url = F.when(
+        did % 11 == 0, F.concat(F.lit("doc:"), did.cast("string"))
+    ).otherwise(
+        F.concat(
+            scheme, F.lit("://"), host, port, F.lit("/D/"), did.cast("string"), q, frag
+        )
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return urlfilter.canonicalize_urls(d).select("doc_id", "url", "canonical_url")
+
+
+SQL_88 = r"""
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN 'doc:' || doc_id
+              ELSE (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+                   || '://'
+                   || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+                   || '.Example'
+                   || (CASE WHEN doc_id % 5 = 0 THEN ':80'
+                            WHEN doc_id % 5 = 1 THEN ':443' ELSE '' END)
+                   || '/D/' || doc_id
+                   || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=' || doc_id
+                            WHEN doc_id % 4 = 1 THEN '?id=' || doc_id || '&utm_campaign=x'
+                            ELSE '' END)
+                   || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)
+         END AS url
+  FROM documents),
+ parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS auth0,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS query
+  FROM u),
+ norm AS (
+  SELECT doc_id, url, scheme, path, query,
+         CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+              ELSE auth0 END AS auth,
+         array_to_string(
+           list_filter(str_split(query, '&'),
+                       p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$')),
+           '&') AS newq
+  FROM parts)
+SELECT doc_id, url,
+       CASE WHEN scheme = '' THEN url
+            ELSE scheme || '://' || auth || path ||
+                 (CASE WHEN query <> '' AND newq <> '' THEN '?' || newq ELSE '' END)
+       END AS canonical_url
+FROM norm
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # q00b holds the flagship's window slot (VERDICT r5 #3): the same
     # feature→normalize→project→assign→label chain, value-exact via the
@@ -3076,6 +3336,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_audio_resample": q81_audio_resample,
     "q82_video_frame_sample": q82_video_frame_sample,
     "q83_hash_split": q83_hash_split,
+    "q84_span_dedup": q84_span_dedup,
+    "q85_temperature_mix": q85_temperature_mix,
+    "q86_semantic_dedup": q86_semantic_dedup,
+    "q87_bigram_lm": q87_bigram_lm,
+    "q88_canonical_url": q88_canonical_url,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3160,6 +3425,11 @@ _ORACLES: dict[str, str] = {
     "q81_audio_resample": SQL_81,
     "q82_video_frame_sample": SQL_82,
     "q83_hash_split": _sql_83(),
+    "q84_span_dedup": SQL_84,
+    "q85_temperature_mix": SQL_85,
+    "q86_semantic_dedup": _sql_86(),
+    "q87_bigram_lm": SQL_87,
+    "q88_canonical_url": SQL_88,
 }
 
 

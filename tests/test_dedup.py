@@ -221,3 +221,148 @@ def test_line_dedup_corpus_partition_invariant_and_args(spark):
     assert len(a) == 60  # every doc present
     with pytest.raises(ValueError):
         dedup.line_dedup_corpus(df, min_count=1)
+
+
+# ---- span_dedup_corpus (Lee et al. ExactSubstr) ----
+
+def _span_dedup_py(texts, k, min_count, keep_first=True):
+    """Pure-python reference: same tokenization (split on \\s+ after
+    strip, '' -> ['']), same first-occurrence rule."""
+    import re
+
+    toks = {
+        i: re.split(r"\s+", t.strip()) if t is not None else [""]
+        for i, t in texts.items()
+    }
+    occ = {}
+    for i in sorted(toks):
+        w = toks[i]
+        for g in range(len(w) - k + 1):
+            occ.setdefault(" ".join(w[g : g + k]), []).append((i, g))
+    removed = {i: set() for i in toks}
+    for fp, sites in occ.items():
+        if len(sites) < min_count:
+            continue
+        first = min(sites)
+        for (i, g) in sites:
+            if keep_first and (i, g) == first:
+                continue
+            removed[i].update(range(g, g + k))
+    return {
+        i: " ".join(tok for p, tok in enumerate(w) if p not in removed[i])
+        for i, w in toks.items()
+    }
+
+
+def test_span_dedup_matches_python(spark):
+    texts = {
+        1: "a b c d e f g h",
+        2: "x y a b c d e z",          # shares the 5-gram a..e -> 4-grams dup
+        3: "a b c d q r s t",          # shares a b c d
+        4: "unique tokens only here now",
+        5: "",                          # empty doc passes through
+        6: "short one",                 # < k tokens, no grams
+        7: "x y a b c d e z",          # exact duplicate of 2
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["text_deduped"]
+        for r in dedup.span_dedup_corpus(df, k=4, min_count=2).collect()
+    }
+    exp = _span_dedup_py(texts, k=4, min_count=2)
+    assert out == exp
+    # first occurrence survives intact, later ones are excised
+    assert out[1] == texts[1]
+    assert "a b c d" not in out[2] and "a b c d" not in out[3]
+    # every input doc appears exactly once
+    assert set(out) == set(texts)
+    # keep_first=False removes the first occurrence too
+    out_all = {
+        r["doc_id"]: r["text_deduped"]
+        for r in dedup.span_dedup_corpus(df, k=4, min_count=2, keep_first=False).collect()
+    }
+    assert out_all == _span_dedup_py(texts, k=4, min_count=2, keep_first=False)
+    assert "a b c d" not in out_all[1]
+    # a corpus with no duplicated k-grams is unchanged
+    solo = spark.createDataFrame(
+        [(1, "p q r s t"), (2, "u v w x y")], "doc_id long, text string"
+    )
+    unchanged = {
+        r["doc_id"]: r["text_deduped"]
+        for r in dedup.span_dedup_corpus(solo, k=4, min_count=2).collect()
+    }
+    assert unchanged == {1: "p q r s t", 2: "u v w x y"}
+
+
+def test_span_dedup_partition_invariant_and_args(spark):
+    import pytest
+
+    rows = [(i, " ".join(f"t{(i * 7 + j) % 11}" for j in range(12))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {
+        (r["doc_id"], r["text_deduped"])
+        for r in dedup.span_dedup_corpus(df, k=3, min_count=2).collect()
+    }
+    rep = {
+        (r["doc_id"], r["text_deduped"])
+        for r in dedup.span_dedup_corpus(df.repartition(13), k=3, min_count=2).collect()
+    }
+    assert base == rep
+    exp = _span_dedup_py(dict(rows), k=3, min_count=2)
+    assert {i: t for i, t in base} == exp
+    with pytest.raises(ValueError):
+        dedup.span_dedup_corpus(df, k=1)
+    with pytest.raises(ValueError):
+        dedup.span_dedup_corpus(df, min_count=1)
+
+
+# ---- semantic_dedup (SemDeDup) ----
+
+def _sem_py(vecs, cents, thr):
+    import numpy as np
+
+    X = np.asarray(vecs, dtype=np.float64)
+    C = np.asarray(cents, dtype=np.float64)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    cl = d.argmin(axis=1)
+    nm = np.sqrt((X * X).sum(axis=1))
+    dup = [False] * len(vecs)
+    for b in range(len(vecs)):
+        for a in range(b):
+            if cl[a] != cl[b]:
+                continue
+            cos = float(X[a] @ X[b]) / float(nm[a] * nm[b])
+            if cos >= thr:
+                dup[b] = True
+                break
+    return cl.tolist(), dup
+
+
+def test_semantic_dedup_matches_numpy(spark):
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(7)
+    dim, kk = 8, 3
+    vecs = rng.normal(size=(60, dim)).tolist()
+    # plant a near-duplicate pair: 50 is a tiny perturbation of 10
+    vecs[50] = [v * 1.001 for v in vecs[10]]
+    cents = rng.normal(size=(kk, dim)).tolist()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    out = dedup.semantic_dedup(df, cents, threshold=0.8).collect()
+    got = {r["vec_id"]: (r["cluster"], r["is_dup"]) for r in out}
+    cl, dup = _sem_py(vecs, cents, 0.8)
+    assert got == {i: (cl[i], dup[i]) for i in range(len(vecs))}
+    # the planted copy (higher id) is the one flagged, original kept
+    assert got[50][1] is True and got[10][1] is False
+    # partition invariance
+    rep = dedup.semantic_dedup(df.repartition(11), cents, threshold=0.8).collect()
+    assert {r["vec_id"]: (r["cluster"], r["is_dup"]) for r in rep} == got
+    with pytest.raises(ValueError):
+        dedup.semantic_dedup(df, [], threshold=0.8)
+    with pytest.raises(ValueError):
+        dedup.semantic_dedup(df, cents, threshold=0.0)

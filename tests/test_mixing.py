@@ -305,3 +305,59 @@ def test_hash_split_deterministic_group_aware(spark):
         mixing.hash_split(df, {"only": 1.0})
     with pytest.raises(ValueError):
         mixing.hash_split(df, {"a": 0.5, "b": 0.2})
+
+
+# ---- temperature_mix ----
+
+def test_temperature_mix_exact_counts_and_selection(spark):
+    import hashlib
+    import math
+
+    import pytest
+
+    rows = []
+    sizes = {"a": 400, "b": 100, "c": 25, "d": 4}
+    i = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, s))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = mixing.temperature_mix(
+        df, ["stratum"], tau=0.5, scale=2.0, count_col="n"
+    ).collect()
+    # exact per-stratum keep counts: min(n, ceil(2*sqrt(n)))
+    got = {}
+    for r in out:
+        got.setdefault(r["stratum"], []).append(r["doc_id"])
+        assert r["n"] == sizes[r["stratum"]]
+    for s, n in sizes.items():
+        assert len(got[s]) == min(n, math.ceil(2.0 * math.sqrt(n))), s
+    # selection is the lowest-md5-rank prefix (python replay)
+    by_stratum = {}
+    for i, s in rows:
+        by_stratum.setdefault(s, []).append(i)
+    for s, ids in by_stratum.items():
+        ranked = sorted(ids, key=lambda x: (hashlib.md5(str(x).encode()).hexdigest(), x))
+        keep = min(len(ids), math.ceil(2.0 * math.sqrt(len(ids))))
+        assert sorted(got[s]) == sorted(ranked[:keep]), s
+    # tau=1, scale=1 is the identity (ceil(n^1) = n)
+    ident = mixing.temperature_mix(df, ["stratum"], tau=1.0, scale=1.0).collect()
+    assert len(ident) == len(rows)
+    # partition invariance
+    rep = mixing.temperature_mix(
+        df.repartition(9), ["stratum"], tau=0.5, scale=2.0
+    ).collect()
+    assert {r["doc_id"] for r in rep} == {r["doc_id"] for r in out}
+    # flattening: tau=0 keeps ceil(scale) per stratum regardless of size
+    flat = mixing.temperature_mix(df, ["stratum"], tau=0.0, scale=2.0).collect()
+    cnt = {}
+    for r in flat:
+        cnt[r["stratum"]] = cnt.get(r["stratum"], 0) + 1
+    assert cnt == {s: 2 for s in sizes}
+    with pytest.raises(ValueError):
+        mixing.temperature_mix(df, ["stratum"], tau=-0.1)
+    with pytest.raises(ValueError):
+        mixing.temperature_mix(df, ["stratum"], scale=0.0)
+    with pytest.raises(ValueError):
+        mixing.temperature_mix(df, ["missing"], tau=0.5)

@@ -244,3 +244,66 @@ def test_tfidf_vocab_bounds(spark):
     assert set(out["token"]) == {"a", "b", "brown", "c", "d"}
     # tf preserved through the bounded join ("the" is out, fox is out)
     assert out[out["token"] == "a"]["tf"].iloc[0] == 1
+
+
+# ---- bigram_lm_score ----
+
+def test_bigram_lm_score_matches_python(spark):
+    import math
+
+    import pytest
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the cat",
+        3: "dog",                      # 1 token -> no transitions, null score
+        4: "the mat sat",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textprep.bigram_lm_score(df).collect()}
+
+    # python replay (add-1 smoothing, self-scored)
+    toks = {i: t.split() for i, t in texts.items()}
+    big, ctx, vocab = {}, {}, set()
+    for w in toks.values():
+        vocab.update(w)
+        for a, b in zip(w, w[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    V = len(vocab)
+    for i, w in toks.items():
+        trans = list(zip(w, w[1:]))
+        if not trans:
+            assert out[i]["avg_logprob"] is None
+            assert out[i]["n_transitions"] == 0
+            continue
+        lp = sum(
+            math.log((big[p] + 1.0) / (ctx[p[0]] + 1.0 * V)) for p in trans
+        ) / len(trans)
+        assert out[i]["n_transitions"] == len(trans)
+        assert abs(out[i]["avg_logprob"] - lp) < 1e-9, i
+
+    # separate clean model corpus: unseen transitions hit the add-k floor
+    model = spark.createDataFrame([(10, "the cat sat")], "doc_id long, text string")
+    scored = {
+        r["doc_id"]: r
+        for r in textprep.bigram_lm_score(df, model_df=model).collect()
+    }
+    # model: big={(the,cat):1,(cat,sat):1}, ctx={the:1,cat:1}, V=3
+    exp4 = (
+        math.log((0 + 1.0) / (1 + 3.0))    # (the, mat) unseen, ctx(the)=1
+        + math.log((0 + 1.0) / (0 + 3.0))  # (mat, sat) unseen, ctx(mat)=0
+    ) / 2
+    assert abs(scored[4]["avg_logprob"] - exp4) < 1e-9
+    # repetitive text scores higher than the same tokens shuffled rare
+    assert scored[1]["avg_logprob"] > scored[4]["avg_logprob"]
+    # partition invariance
+    rep = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in textprep.bigram_lm_score(df.repartition(7)).collect()
+    }
+    for i in texts:
+        a, b = rep[i], out[i]["avg_logprob"]
+        assert (a is None and b is None) or abs(a - b) < 1e-12
+    with pytest.raises(ValueError):
+        textprep.bigram_lm_score(df, add_k=0.0)

@@ -114,3 +114,35 @@ def test_null_url_parity_between_paths(spark):
         assert got == {0: False, 1: True}
     dropped = urlfilter.apply_url_filters(df, ["ads.example.com"], id_col="doc_id", mode="drop")
     assert {r["doc_id"] for r in dropped.collect()} == {0}
+
+
+# ---- canonicalize_urls ----
+
+def test_canonicalize_urls(spark):
+    cases = [
+        # (input, expected canonical)
+        ("HTTP://Example.COM:80/Path/X?utm_source=a&id=1#frag",
+         "http://example.com/Path/X?id=1"),
+        ("https://a.B.example:443/x", "https://a.b.example/x"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),  # non-default port kept
+        ("http://example.com/?utm_source=a&utm_medium=b", "http://example.com/"),
+        ("http://example.com/p?ref=nav&keep=1&fbclid=zz", "http://example.com/p?keep=1"),
+        ("ftp://Files.Example/Pub", "ftp://files.example/Pub"),  # scheme-generic
+        ("http://example.com/p#only-frag", "http://example.com/p"),
+        ("not a url at all", "not a url at all"),               # opaque pass-through
+        ("doc:123", "doc:123"),
+        ("https://example.com", "https://example.com"),          # no path
+        ("HTTPS://EXAMPLE.COM:443?gclid=1", "https://example.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    out = {r["i"]: r["canonical_url"] for r in urlfilter.canonicalize_urls(df).collect()}
+    for i, (u, exp) in enumerate(cases):
+        assert out[i] == exp, (u, out[i], exp)
+    # canonicalization is idempotent
+    once = urlfilter.canonicalize_urls(df).select(
+        "i", F.col("canonical_url").alias("url")
+    )
+    twice = {r["i"]: r["canonical_url"] for r in urlfilter.canonicalize_urls(once).collect()}
+    assert twice == out

@@ -152,6 +152,18 @@ CHECKS = {
     # audio resample chain: same shape — Arrow stages over a scan
     # pruned to the two payload-deriving columns
     "q81_audio_resample": ["MapInPandas", "ReadSchema: struct<doc_id:bigint,text:string>"],
+    # span dedup: gram-fingerprint stats must be a map-side-combined
+    # hash aggregation (one row per distinct k-gram — the skew guard);
+    # candidate/token joins are equi-joins, never cartesian; the scan
+    # prunes to the two columns the operator reads
+    "q84_span_dedup": ["partial_", "!Cartesian", "!NestedLoop", "ReadSchema: struct<doc_id:bigint,text:string>"],
+    # temperature mixing: stratum counts map-side combined and
+    # BROADCAST back (the count table is tiny); no cartesian
+    "q85_temperature_mix": ["partial_", "BroadcastHashJoin", "!Cartesian"],
+    # SemDeDup: the within-cluster pair screen must be a cluster
+    # EQUI-join, never an all-pairs product; assignment distances and
+    # pair dots are native expressions — no Python evaluator anywhere
+    "q86_semantic_dedup": ["!Cartesian", "!NestedLoop", "!ArrowEvalPython", "!BatchEvalPython"],
 }
 
 

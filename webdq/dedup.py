@@ -525,3 +525,209 @@ def line_dedup_corpus(
     return df.select(id_col).join(rebuilt, id_col, "left").select(
         F.col(id_col), F.coalesce(F.col(out_col), F.lit("")).alias(out_col)
     )
+
+
+def span_dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    out_col: str = "text_deduped",
+    keep_first: bool = True,
+) -> DataFrame:
+    """CORPUS-WIDE exact substring (token-span) deduplication — the
+    Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    Better" ExactSubstr step, re-expressed as joins: any ``k``-token
+    window whose fingerprint occurs >= ``min_count`` times anywhere in
+    the corpus is a duplicated span; every NON-FIRST occurrence (first
+    = minimum (id, position), deterministic and partition-invariant)
+    is excised from its document, and the surviving tokens are
+    reassembled in order. ``keep_first=False`` excises every
+    occurrence (the "remove boilerplate everywhere" variant). Unlike
+    line dedup the span grid is overlapping, so a duplicated region of
+    any length >= k is covered by its k-windows without an alignment
+    assumption. Like the reference suffix-array formulation this is
+    NOT idempotent by construction: excision creates new token
+    adjacencies, so a second pass can find new duplicated spans
+    (documented Lee et al. behavior, tested).
+
+    Scale shape (10^12 tokens): one posexplode to the k-gram grid
+    (window slices read a materialized token-array attribute — O(k)
+    per gram, no captured-expression re-evaluation), one map-side-
+    combined groupBy on the gram fingerprint (a 10^9-occurrence
+    boilerplate span is ONE aggregate row), one equi-join back
+    (build side = one row per distinct gram; AQE skew-join splits hot
+    fingerprints), a k-fanout explode ONLY on duplicated grams, one
+    distinct on removed (id, token-pos) and one left_anti join against
+    the token grid. md5 keeps the fingerprint engine-portable for the
+    oracle; swap F.xxhash64 at scale where only internal consistency
+    matters (half the shuffle bytes).
+
+    Reference analog: the reference dedups whole records by key
+    (/root/reference/osmdq/utils.py:365); sub-document span dedup is
+    the web-corpus generalization (SURVEY.md section 8)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    toked = df.select(
+        F.col(id_col), _tokens(text_col, distinct=False).alias("_toks")
+    )
+    grams = toked.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size("_toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - k),
+                    lambda g: F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), g + 1, k))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_g", "_fp"),
+    )
+    stats = grams.groupBy("_fp").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct(F.col(id_col), F.col("_g"))).alias("_first"),
+    )
+    dup = grams.join(stats, "_fp").filter(F.col("_n") >= int(min_count))
+    if keep_first:
+        dup = dup.filter(
+            ~(
+                (F.col(id_col) == F.col(f"_first.{id_col}"))
+                & (F.col("_g") == F.col("_first._g"))
+            )
+        )
+    removed = dup.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("_g"), F.col("_g") + (k - 1))).alias("_t"),
+    ).dropDuplicates()
+    toks = toked.select(
+        F.col(id_col), F.posexplode(F.col("_toks")).alias("_t", "_tok")
+    )
+    kept = toks.join(removed, [id_col, "_t"], "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_t", "_tok"))).alias("_ts"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.transform("_ts", lambda s: s["_tok"])).alias(out_col),
+        )
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col(out_col), F.lit("")).alias(out_col)
+    )
+
+
+def _fold_sqdist(vec_col: str, centroid) -> "F.Column":
+    """Squared L2 distance vector↔literal centroid as a fixed
+    left-assoc native fold (the q77 order contract: every mul/add is
+    IEEE-correctly-rounded, so any engine replaying the same order
+    reproduces the double bit-for-bit)."""
+    e = None
+    for t, c in enumerate(centroid):
+        x = F.element_at(F.col(vec_col), t + 1).cast("double") - F.lit(float(c))
+        term = x * x
+        e = term if e is None else e + term
+    return e
+
+
+def _fold_dot(a_col: str, b_col: str, dim: int) -> "F.Column":
+    """Dot product of two array columns, fixed left-assoc fold."""
+    e = None
+    for t in range(dim):
+        term = F.element_at(F.col(a_col), t + 1).cast("double") * F.element_at(
+            F.col(b_col), t + 1
+        ).cast("double")
+        e = term if e is None else e + term
+    return e
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    dup_col: str = "is_dup",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate flagging
+    by clustering embeddings and comparing cosine similarity ONLY
+    within a cluster — the blocking step that makes embedding dedup
+    sub-quadratic. Each vector is assigned to its nearest ``centroid``
+    (squared-L2 argmin, first minimum on ties — numpy argmin
+    semantics); a vector is flagged duplicate iff some SMALLER-id
+    vector in the same cluster has cosine >= ``threshold`` (keep-first
+    convention, deterministic and partition-invariant). Centroids come
+    from ``ml.fit_kmeans`` in production; the contract query freezes
+    arithmetic centroids (the q72/q77 frozen-model pattern) so every
+    float — assignment distances, norms, pair dots, the division —
+    is a fixed left-assoc fold an oracle engine replays bit-for-bit.
+
+    Scale shape: assignment + norms are pure projections (zero
+    shuffle; k staged distance columns keep each generated method
+    under janino's 64 KB limit — see pq_encode); pair generation is a
+    cluster equi-join, never a cross join, with O(sum of cluster
+    size²) pair dots — SemDeDup's own construction, bounded by
+    choosing k ∝ N/target_cluster_size (at 10^12 vectors feed the
+    join from a MATERIALIZED assignment stage table and sub-block
+    giant clusters with an md5-prefix salt on both sides). The dup
+    flags join back on the unique id.
+
+    Reference analog: the reference clusters user-feature vectors
+    with KMeans and interprets clusters (SURVEY.md §2 M5/M9);
+    SemDeDup is that clustering turned into a dedup blocking key
+    (§8 embedding-cosine near-dup, cluster-blocked variant of
+    embedding_neardup_pairs)."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    dim = len(centroids[0])
+    kk = len(centroids)
+    staged = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[_fold_sqdist(vec_col, centroids[j]).alias(f"_dc_{j}") for j in range(kk)],
+    )
+    staged = staged.withColumn(
+        "_nm", F.sqrt(_fold_dot(vec_col, vec_col, dim))
+    ).withColumn("_mind", F.least(*[F.col(f"_dc_{j}") for j in range(kk)]))
+    cl = None
+    for j in range(kk - 1):
+        cond = F.col(f"_dc_{j}") == F.col("_mind")
+        cl = F.when(cond, j) if cl is None else cl.when(cond, j)
+    cl = (F.lit(0) if cl is None else cl.otherwise(kk - 1)).cast("int")
+    assigned = staged.select(
+        F.col(id_col), F.col(vec_col), F.col("_nm"), cl.alias(cluster_col)
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nm").alias("_na"),
+        F.col(cluster_col).alias("_cl"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nm").alias("_nb"),
+        F.col(cluster_col).alias("_cl"),
+    )
+    pairs = a.join(b, "_cl").filter(F.col("_ida") < F.col("_idb"))
+    cos = _fold_dot("_va", "_vb", dim) / (F.col("_na") * F.col("_nb"))
+    dups = (
+        pairs.filter(cos >= F.lit(float(threshold)))
+        .select(F.col("_idb").alias(id_col))
+        .dropDuplicates()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, cluster_col)
+        .join(dups, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(cluster_col),
+            F.coalesce(F.col("_dup"), F.lit(False)).alias(dup_col),
+        )
+    )

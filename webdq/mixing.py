@@ -311,3 +311,69 @@ def hash_split(
     for name, cut in zip(names[:-1], split_cuts(fr)):
         w = F.when(h < cut, name) if w is None else w.when(h < cut, name)
     return df.withColumn(out_col, w.otherwise(names[-1]))
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_cols: list[str],
+    tau: float = 0.5,
+    scale: float = 1.0,
+    id_col: str = "doc_id",
+    count_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual-pretraining
+    rebalance of Conneau & Lample '19 / mT5: sampled counts
+    proportional to n_i^tau, tau < 1 flattens the domain distribution
+    toward uniform, tau = 1 is natural): each stratum keeps
+    keep_i = min(n_i, ceil(scale * n_i^tau)) documents, selected by
+    md5(id)-rank — the same deterministic, partition-invariant,
+    engine-portable selection as ``stratified_sample``, but with the
+    rates DERIVED from the observed stratum sizes instead of supplied.
+    ``scale`` positions the curve (choose scale ≈ N_target / Σ n_i^tau
+    to hit a corpus budget). ``count_col`` optionally exposes n_i.
+
+    Engine-portability note: at tau = 0.5, n^tau = sqrt(n) is
+    CORRECTLY ROUNDED by IEEE-754 (sqrt is one of the five exactly-
+    specified operations), and scale*sqrt(n) is one more correctly-
+    rounded multiply — so keep_i is bit-identical across any two IEEE
+    engines and the whole operator is value-exact replayable (the q85
+    oracle). General tau uses pow(), which the standard only bounds to
+    ~1 ulp — identical in practice, but the contract query pins 0.5.
+
+    Scale shape: one map-side-combined groupBy for the stratum counts
+    (strata are few — sources × languages — the count table
+    broadcasts), one broadcast join, one per-stratum window for the
+    md5 rank. A hostile stratum makes the window a straggler; at
+    10^12 docs pre-truncate with the host_quota two-stage salted TopK
+    (exactness argument is identical)."""
+    if tau < 0:
+        raise ValueError(f"tau must be >= 0, got {tau}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    missing = [c for c in strata_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"strata columns {missing} not in DataFrame ({df.columns})")
+    counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("_n"))
+    if tau == 0.5:
+        pw = F.sqrt(F.col("_n").cast("double"))
+    else:
+        pw = F.pow(F.col("_n").cast("double"), F.lit(float(tau)))
+    keep = counts.withColumn(
+        "_keep",
+        F.least(
+            F.col("_n"),
+            F.ceil(F.lit(float(scale)) * pw).cast("bigint"),
+        ),
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    out = (
+        df.join(F.broadcast(keep), on=strata_cols, how="inner")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_keep"))
+        .drop("_rn", "_keep")
+    )
+    if count_col is None:
+        return out.drop("_n")
+    return out.withColumnRenamed("_n", count_col)

@@ -335,3 +335,97 @@ def tfidf(
             (F.col("tf") * idf).alias("tfidf"),
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    model_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 1.0,
+    score_col: str = "avg_logprob",
+) -> DataFrame:
+    """Count-based bigram language-model quality scoring — the CCNet /
+    Wenzek et al. '20 shape (train a small LM on a clean reference
+    corpus, score every candidate document, filter/bucket by
+    perplexity) with the LM re-expressed as two count aggregations
+    instead of a trained model: p(w|v) = (c(v,w) + k) / (c(v·) + k·V)
+    (add-k smoothing over the model corpus's transition counts; V =
+    model vocabulary size), and a document's score is the MEAN log
+    transition probability over its (w_{i-1}, w_i) pairs (null for
+    docs with < 2 tokens — no transitions to score). ``model_df``
+    is the clean reference corpus; ``None`` scores ``df`` against
+    itself (self-perplexity — boilerplate-heavy and repetitive docs
+    score HIGH, gibberish scores LOW, so both filter directions are
+    useful).
+
+    Shape: transitions are an arrays_zip of two pre-sliced token
+    arrays (no captured-expression HOF — the r3 quadratic trap), one
+    explode each for model counts and scoring; context counts c(v·)
+    aggregate OVER the bigram table (one row per distinct bigram —
+    no second pass over the corpus); V is a 1-row aggregate broadcast
+    via crossJoin (no driver sync). The model tables join back on
+    (prev, cur) / prev — broadcast when the model corpus is the usual
+    bounded clean reference (wiki-sized), shuffle equi-join otherwise.
+    Unseen transitions (model_df ≠ df) fall back to the add-k floor
+    via left joins + coalesce(0). At 10^12 docs the scored side is
+    one explode + two equi-joins + one map-side-combined groupBy —
+    no window, no Python.
+
+    Reference analog: the reference's per-record quality features
+    feeding KMeans (SURVEY.md §2 M9); the LM score is the web-corpus
+    quality feature CCNet adds on top (§8 quality scoring)."""
+    if add_k <= 0:
+        raise ValueError(f"add_k must be positive, got {add_k}")
+    model_src = df if model_df is None else model_df
+
+    def _transitions(d: DataFrame) -> DataFrame:
+        t = d.select(F.col(id_col), _toks(text_col).alias("_w"))
+        n = F.size("_w")
+        pairs = F.arrays_zip(
+            F.slice("_w", 1, n - 1).alias("_prev"),
+            F.slice("_w", 2, n - 1).alias("_cur"),
+        )
+        return (
+            t.filter(n >= 2)
+            .select(F.col(id_col), F.explode(pairs).alias("_p"))
+            .select(
+                F.col(id_col),
+                F.col("_p._prev").alias("_prev"),
+                F.col("_p._cur").alias("_cur"),
+            )
+        )
+
+    mt = _transitions(model_src)
+    big = mt.groupBy("_prev", "_cur").agg(F.count(F.lit(1)).alias("_cb"))
+    ctx = big.groupBy("_prev").agg(F.sum("_cb").alias("_cc"))
+    vocab = (
+        model_src.select(F.explode(_toks(text_col)).alias("_tok"))
+        .filter(F.col("_tok") != "")
+        .agg(F.count_distinct("_tok").alias("_v"))
+    )
+    st = _transitions(df)
+    k = F.lit(float(add_k))
+    logp = F.log(
+        (F.coalesce(F.col("_cb"), F.lit(0)) + k)
+        / (F.coalesce(F.col("_cc"), F.lit(0)) + k * F.col("_v"))
+    )
+    scored = (
+        st.join(big, ["_prev", "_cur"], "left")
+        .join(ctx, "_prev", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            (F.sum(logp) / F.count(F.lit(1))).alias(score_col),
+            F.count(F.lit(1)).alias("n_transitions"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(score_col),
+            F.coalesce(F.col("n_transitions"), F.lit(0)).alias("n_transitions"),
+        )
+    )

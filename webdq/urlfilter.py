@@ -128,3 +128,56 @@ def apply_url_filters(
             "blocked_domain", "blocked_pattern"
         )
     return out
+
+
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$"
+
+
+def canonicalize_url_col(url: F.Column, tracking_re: str = TRACKING_PARAM_RE) -> F.Column:
+    """Canonical URL as a pure native expression — the normalization
+    that runs BEFORE url-level exact dedup so trivially-distinct spam
+    variants (case-shifted hosts, tracking params, fragments, default
+    ports) collapse to one key:
+
+    - scheme and authority lowercased (path/query case is preserved —
+      it is significant per RFC 3986)
+    - default port stripped (``:80`` for http, ``:443`` for https)
+    - fragment dropped
+    - tracking query params removed (``utm_*``, fbclid, gclid,
+      msclkid, ref — the public C4/common-crawl hygiene set; override
+      via ``tracking_re``), the ``?`` dropped when nothing survives
+    - strings without a ``scheme://`` prefix pass through UNCHANGED
+      (opaque keys are not urls; don't corrupt them)
+
+    Everything is regexp_extract / lower / one same-element HOF filter
+    — whole-stage codegen, zero shuffle, embarrassingly scalable, and
+    replayable by any engine with RE2-compatible regex (the pattern
+    set avoids Java-only constructs, as textprep's BPE pattern does)."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    auth = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url, r"^[^#]*\?([^#]*)", 1)
+    kept = F.filter(F.split(query, "&"), lambda p: ~p.rlike(tracking_re))
+    newq = F.array_join(kept, "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when((query != "") & (newq != ""), F.concat(F.lit("?"), newq)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(scheme == "", url).otherwise(rebuilt)
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """DataFrame form of ``canonicalize_url_col`` (adds ``out_col``)."""
+    return df.withColumn(out_col, canonicalize_url_col(F.col(url_col)))
