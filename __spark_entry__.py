@@ -3237,6 +3237,122 @@ FROM norm
 """
 
 
+def q89_neardup_delta(spark, sf_dir):
+    """Incremental NEAR-dup dedup (dedup.neardup_against): new-batch
+    documents (doc_id % 4 = 0) probed against the ingested corpus
+    (doc_id % 4 != 0) by 3-shingle 4-band MinHash bucket membership —
+    the delta-batch production shape of q29/q44 with NO doc×doc pair
+    join (doc×bucket only; the corpus side is one row per occupied
+    bucket). DuckDB replays both sides' signatures and the bucket
+    semi-join."""
+    from webdq import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 4 != 0).select("doc_id", "text")
+    out = dedup.neardup_against(new, corpus, n_bands=4, shingle_n=3)
+    return out.select("doc_id", "near_dup_in_corpus")
+
+
+SQL_89 = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+ tok AS (SELECT doc_id,
+                unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS t
+         FROM w WHERE len(w) >= 3),
+ b AS (SELECT unnest([0, 1, 2, 3]) AS band),
+ sig AS (SELECT doc_id, band, min(md5(t || '#' || CAST(band AS VARCHAR))) AS minhash
+         FROM tok CROSS JOIN b GROUP BY doc_id, band),
+ cb AS (SELECT DISTINCT band, minhash FROM sig WHERE doc_id % 4 <> 0),
+ hit AS (SELECT DISTINCT s.doc_id
+         FROM sig s JOIN cb ON s.band = cb.band AND s.minhash = cb.minhash
+         WHERE s.doc_id % 4 = 0)
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS near_dup_in_corpus
+FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+LEFT JOIN hit h ON d.doc_id = h.doc_id
+"""
+
+
+def q90_cascade_stats(spark, sf_dir):
+    """Quality-filter cascade accounting (cascade.cascade_stats — the
+    C4/Gopher/FineWeb per-step removal table): three native drop
+    rules in order (token count < 15, > 60, distinct-token ratio
+    < 0.55), every document attributed to the FIRST rule it trips,
+    stats = (stage_idx, stage, n_dropped, n_remaining) + final 'kept'
+    row. One projection + one tiny groupBy; the running subtraction
+    runs over the ≤4-row stats table. DuckDB replays the attribution
+    CASE and the cumulative."""
+    from webdq import cascade
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    rules = [
+        ("too_short", F.col("n_tok") < 15),
+        ("too_long", F.col("n_tok") > 60),
+        ("low_diversity", (F.col("n_uniq") / F.col("n_tok")) < 0.55),
+    ]
+    return cascade.cascade_stats(d, rules)
+
+
+SQL_90 = r"""
+WITH t AS (SELECT doc_id,
+                  len(regexp_split_to_array(trim(text), '\s+')) AS n,
+                  len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS u
+           FROM documents),
+ a AS (SELECT CASE WHEN n < 15 THEN 'too_short'
+                   WHEN n > 60 THEN 'too_long'
+                   WHEN CAST(u AS DOUBLE) / n < 0.55 THEN 'low_diversity'
+                   ELSE 'kept' END AS stage
+       FROM t),
+ c AS (SELECT stage, count(*) AS cnt FROM a GROUP BY stage),
+ o AS (SELECT * FROM (VALUES (0, 'too_short'), (1, 'too_long'),
+                             (2, 'low_diversity'), (3, 'kept')) AS v(stage_idx, stage)),
+ j AS (SELECT o.stage_idx, o.stage, coalesce(c.cnt, 0) AS cnt,
+              CASE WHEN o.stage = 'kept' THEN 0 ELSE coalesce(c.cnt, 0) END AS dropped
+       FROM o LEFT JOIN c ON o.stage = c.stage)
+SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+       CAST(dropped AS BIGINT) AS n_dropped,
+       CAST((SELECT sum(cnt) FROM j) - sum(dropped) OVER (ORDER BY stage_idx) AS BIGINT) AS n_remaining
+FROM j
+"""
+
+
+def q91_contamination_score(spark, sf_dir):
+    """Graded benchmark contamination (dedup.contamination_score — the
+    GPT-3/PaLM n-gram overlap metric; q63's winnowing decontaminate is
+    the binary form): fraction of each document's distinct 3-grams
+    appearing anywhere in the benchmark (every 50th document — those
+    score exactly 1.0, incidental sharers grade in between). The frac
+    is one exact-int division — no rounding contract needed. DuckDB
+    replays shingles, the distinct benchmark set, and the join."""
+    from webdq import dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return dedup.contamination_score(d, bench, k=3)
+
+
+SQL_91 = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+ g AS (SELECT doc_id,
+              unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS gr
+       FROM w WHERE len(w) >= 3),
+ bg AS (SELECT DISTINCT gr FROM g WHERE doc_id % 50 = 0),
+ sc AS (SELECT g.doc_id, count(*) AS n_grams,
+               sum(CASE WHEN bg.gr IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM g LEFT JOIN bg ON g.gr = bg.gr
+        GROUP BY g.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(sc.n_hit, 0) AS BIGINT) AS n_hit,
+       CASE WHEN sc.n_grams > 0 THEN CAST(sc.n_hit AS DOUBLE) / sc.n_grams END AS overlap_frac
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # q00b holds the flagship's window slot (VERDICT r5 #3): the same
     # feature→normalize→project→assign→label chain, value-exact via the
@@ -3341,6 +3457,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_semantic_dedup": q86_semantic_dedup,
     "q87_bigram_lm": q87_bigram_lm,
     "q88_canonical_url": q88_canonical_url,
+    "q89_neardup_delta": q89_neardup_delta,
+    "q90_cascade_stats": q90_cascade_stats,
+    "q91_contamination_score": q91_contamination_score,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3430,6 +3549,9 @@ _ORACLES: dict[str, str] = {
     "q86_semantic_dedup": _sql_86(),
     "q87_bigram_lm": SQL_87,
     "q88_canonical_url": SQL_88,
+    "q89_neardup_delta": SQL_89,
+    "q90_cascade_stats": SQL_90,
+    "q91_contamination_score": SQL_91,
 }
 
 

@@ -366,3 +366,102 @@ def test_semantic_dedup_matches_numpy(spark):
         dedup.semantic_dedup(df, [], threshold=0.8)
     with pytest.raises(ValueError):
         dedup.semantic_dedup(df, cents, threshold=0.0)
+
+
+# ---- neardup_against (delta near-dup) ----
+
+def test_neardup_against(spark):
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "red green blue yellow purple orange"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),   # exact copy -> collides in every band
+            (11, "qq ww ee rr tt yy uu ii"),                # disjoint vocab -> no bucket shared
+            (12, "one two three four five six SEVEN"),      # near copy -> some band collides
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["near_dup_in_corpus"]
+        for r in dedup.neardup_against(new, corpus, n_bands=4, shingle_n=2).collect()
+    }
+    assert out[10] is True
+    assert out[11] is False
+    assert set(out) == {10, 11, 12}
+    # drop mode == filter of flag mode
+    dropped = {
+        r["doc_id"]
+        for r in dedup.neardup_against(new, corpus, n_bands=4, shingle_n=2, mode="drop").collect()
+    }
+    assert dropped == {i for i, f in out.items() if not f}
+    # flag semantics replayed from the signature tables themselves
+    sn = dedup.minhash_signatures(new, n_bands=4, shingle_n=2).collect()
+    sc = dedup.minhash_signatures(corpus, n_bands=4, shingle_n=2).collect()
+    buckets = {(r["band"], r["minhash"]) for r in sc}
+    exp = {}
+    for r in sn:
+        exp[r["doc_id"]] = exp.get(r["doc_id"], False) or (
+            (r["band"], r["minhash"]) in buckets
+        )
+    assert out == exp
+    # partition invariance
+    rep = {
+        r["doc_id"]: r["near_dup_in_corpus"]
+        for r in dedup.neardup_against(
+            new.repartition(5), corpus.repartition(3), n_bands=4, shingle_n=2
+        ).collect()
+    }
+    assert rep == out
+    with pytest.raises(ValueError):
+        dedup.neardup_against(new, corpus, mode="bogus")
+
+
+# ---- contamination_score ----
+
+def test_contamination_score(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words here entirely now"),
+            (3, "the quick brown cat naps"),
+            (4, "a b"),  # < k tokens: no grams, null frac
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.contamination_score(docs, bench, k=3).collect()}
+
+    def grams(t, k=3):
+        w = t.split()
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    bg = grams("the quick brown fox jumps")
+    for i, t in [(1, "the quick brown fox jumps over the lazy dog"),
+                 (2, "completely different words here entirely now"),
+                 (3, "the quick brown cat naps")]:
+        g = grams(t)
+        assert out[i]["n_grams"] == len(g)
+        assert out[i]["n_hit"] == len(g & bg)
+        assert abs(out[i]["overlap_frac"] - len(g & bg) / len(g)) < 1e-15
+    assert out[2]["n_hit"] == 0 and out[2]["overlap_frac"] == 0.0
+    assert out[4]["n_grams"] == 0 and out[4]["overlap_frac"] is None
+    # a benchmark member scores exactly 1.0
+    self_scored = {
+        r["doc_id"]: r["overlap_frac"]
+        for r in dedup.contamination_score(bench, bench, k=3).collect()
+    }
+    assert self_scored[100] == 1.0
+    with pytest.raises(ValueError):
+        dedup.contamination_score(docs, bench, k=0)

@@ -164,6 +164,15 @@ CHECKS = {
     # EQUI-join, never an all-pairs product; assignment distances and
     # pair dots are native expressions — no Python evaluator anywhere
     "q86_semantic_dedup": ["!Cartesian", "!NestedLoop", "!ArrowEvalPython", "!BatchEvalPython"],
+    # delta near-dup: signature aggregations map-side combined; the
+    # bucket probe is an equi-join (doc×bucket, never doc×doc pairs)
+    "q89_neardup_delta": ["partial_", "!Cartesian", "!NestedLoop"],
+    # cascade accounting: ONE map-side-combined groupBy over the
+    # attribution label; the scan prunes all the way to text alone
+    # (doc_id is projected away — the stats need only the rule inputs)
+    "q90_cascade_stats": ["partial_", "ReadSchema: struct<text:string>"],
+    # contamination: benchmark gram set must BROADCAST; no pair join
+    "q91_contamination_score": ["BroadcastHashJoin", "partial_", "!Cartesian"],
 }
 
 

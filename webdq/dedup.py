@@ -731,3 +731,115 @@ def semantic_dedup(
             F.coalesce(F.col("_dup"), F.lit(False)).alias(dup_col),
         )
     )
+
+
+def neardup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 8,
+    shingle_n: int = 1,
+    rows_per_band: int = 1,
+    mode: str = "flag",
+    flag_col: str = "near_dup_in_corpus",
+) -> DataFrame:
+    """Incremental NEAR-dup dedup: flag or drop NEW documents that
+    share any MinHash LSH bucket with the already-ingested corpus —
+    the delta-batch production shape of ``minhash_lsh_pairs`` (and the
+    near-dup analog of ``dedup_against``'s exact check). A new doc is
+    a candidate iff some (band, minhash) of its signature appears in
+    the corpus signature set; precision/recall tune exactly as in
+    ``minhash_signatures`` (n_bands, shingle_n, rows_per_band).
+
+    Shape: both sides run the single-explode signature aggregation;
+    the corpus side collapses to DISTINCT (band, minhash) — one row
+    per occupied bucket regardless of corpus duplication — and the
+    probe is one equi-join + one dropDuplicates on the new doc id.
+    No pair explosion at all: the delta never joins doc×doc, only
+    doc×bucket. At 10^12 ingested docs the bucket set is a persisted/
+    bucketed stage table keyed on (band, minhash) (storage.
+    write_bucketed makes every delta's probe exchange-free), refreshed
+    incrementally by unioning each accepted delta's signatures."""
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    sig_new = minhash_signatures(
+        new_df, id_col, text_col, n_bands, shingle_n, rows_per_band
+    )
+    buckets = (
+        minhash_signatures(
+            corpus_df, id_col, text_col, n_bands, shingle_n, rows_per_band
+        )
+        .select("band", "minhash")
+        .dropDuplicates()
+    )
+    hit = (
+        sig_new.join(buckets, ["band", "minhash"])
+        .select(F.col("doc_id").alias(id_col))
+        .dropDuplicates()
+    )
+    if mode == "drop":
+        return new_df.join(hit, id_col, "left_anti")
+    return (
+        new_df.join(hit.withColumn("_hit", F.lit(True)), id_col, "left")
+        .withColumn(flag_col, F.coalesce(F.col("_hit"), F.lit(False)))
+        .drop("_hit")
+    )
+
+
+def contamination_score(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Graded benchmark-contamination score: the fraction of a
+    document's DISTINCT word k-grams that appear anywhere in
+    ``benchmark`` — the n-gram overlap metric of the GPT-3 /
+    PaLM decontamination appendices (``decontaminate`` is the binary
+    winnowing variant; this one grades, so a 0.9-overlap quiz page
+    and a 0.02-overlap incidental quote can be thresholded apart).
+    Output: (id, n_grams, n_hit, overlap_frac); overlap_frac is null
+    for docs with < k tokens (no k-grams to score). The frac is one
+    exact-int division — engine-portable with no rounding contract.
+
+    Shape: one distinct-shingle explode per side, benchmark grams
+    collapse to a DISTINCT broadcast set (benchmarks are small; drop
+    the hint for a huge one and the equi-join shuffles), one left
+    join + one map-side-combined groupBy on the doc id. No windows,
+    no Python, no pair explosion."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    grams = df.select(
+        F.col(id_col), F.explode(_shingles(text_col, k, distinct=True)).alias("_g")
+    ).filter(F.col("_g") != "")
+    bench = (
+        benchmark.select(F.explode(_shingles(text_col, k, distinct=True)).alias("_g"))
+        .filter(F.col("_g") != "")
+        .dropDuplicates()
+        .withColumn("_hit", F.lit(1))
+    )
+    scored = (
+        grams.join(F.broadcast(bench), "_g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            # guard n_grams = 0 (< k tokens): ANSI mode makes 0/0 an
+            # error, and null is the honest "nothing to score" anyway
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.col("n_hit") / F.col("n_grams"),
+            ).alias("overlap_frac"),
+        )
+    )
