@@ -3353,6 +3353,59 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
 
 
+def q92_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus split (Wenzek '20 §4.3 —
+    textprep.quantile_buckets over textprep.bigram_lm_score): every
+    document ranked by its 6dp-rounded bigram-LM score WITHIN its
+    language (higher = more fluent = head) and ntiled into three
+    equal-count tiers with an md5(id) tie-break. The rounding makes
+    the ordering engine-stable (q87 contract); the tie-break makes it
+    total. DuckDB replays score → round → ntile."""
+    from webdq import textprep
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    s = (
+        textprep.bigram_lm_score(d)
+        .select("doc_id", F.round(F.col("avg_logprob"), 6).alias("score"))
+        # <2-token docs have no transitions → null score; exclude them
+        # (mirrors the oracle's inner join on the score CTE — and
+        # Spark desc sorts nulls LAST while DuckDB sorts them FIRST)
+        .filter(F.col("score").isNotNull())
+    )
+    j = d.select("doc_id", "lang").join(s, "doc_id")
+    out = textprep.quantile_buckets(
+        j, "score", by=["lang"], n_buckets=3, labels=["head", "middle", "tail"]
+    )
+    return out.select("doc_id", "lang", "score", "bucket")
+
+
+SQL_92 = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+ tr AS (SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+              FROM t WHERE len(w) >= 2)),
+ big AS (SELECT prev, cur, count(*) AS cb FROM tr GROUP BY prev, cur),
+ ctx AS (SELECT prev, sum(cb) AS cc FROM big GROUP BY prev),
+ v AS (SELECT count(DISTINCT tok) AS nv
+       FROM (SELECT unnest(w) AS tok FROM t) WHERE tok <> ''),
+ sc AS (SELECT s.doc_id,
+               round(sum(ln((b.cb + 1.0) / (c.cc + 1.0 * v.nv))) / count(*), 6) AS score
+        FROM tr s
+        JOIN big b ON s.prev = b.prev AND s.cur = b.cur
+        JOIN ctx c ON s.prev = c.prev
+        CROSS JOIN v
+        GROUP BY s.doc_id),
+ r AS (SELECT d.doc_id, d.lang, sc.score,
+              ntile(3) OVER (PARTITION BY d.lang
+                             ORDER BY sc.score DESC,
+                                      md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS tile
+       FROM documents d JOIN sc ON d.doc_id = sc.doc_id)
+SELECT doc_id, lang, score,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM r
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # q00b holds the flagship's window slot (VERDICT r5 #3): the same
     # feature→normalize→project→assign→label chain, value-exact via the
@@ -3460,6 +3513,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_neardup_delta": q89_neardup_delta,
     "q90_cascade_stats": q90_cascade_stats,
     "q91_contamination_score": q91_contamination_score,
+    "q92_perplexity_buckets": q92_perplexity_buckets,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3552,6 +3606,7 @@ _ORACLES: dict[str, str] = {
     "q89_neardup_delta": SQL_89,
     "q90_cascade_stats": SQL_90,
     "q91_contamination_score": SQL_91,
+    "q92_perplexity_buckets": SQL_92,
 }
 
 

@@ -307,3 +307,63 @@ def test_bigram_lm_score_matches_python(spark):
         assert (a is None and b is None) or abs(a - b) < 1e-12
     with pytest.raises(ValueError):
         textprep.bigram_lm_score(df, add_k=0.0)
+
+
+# ---- quantile_buckets ----
+
+def test_quantile_buckets(spark):
+    import hashlib
+
+    import pytest
+
+    rows = [(i, "en" if i % 2 == 0 else "fr", float(i % 10)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    out = textprep.quantile_buckets(
+        df, "score", by=["lang"], n_buckets=4,
+        labels=["q1", "q2", "q3", "q4"],
+    ).collect()
+    # python replay: desc score, md5(id), id; SQL-standard ntile
+    by_lang = {}
+    for i, lang, s in rows:
+        by_lang.setdefault(lang, []).append((i, s))
+    exp = {}
+    for lang, items in by_lang.items():
+        ranked = sorted(
+            items,
+            key=lambda x: (-x[1], hashlib.md5(str(x[0]).encode()).hexdigest(), x[0]),
+        )
+        n = len(ranked)
+        base, rem = divmod(n, 4)
+        sizes = [base + (1 if t < rem else 0) for t in range(4)]
+        pos = 0
+        for t, sz in enumerate(sizes):
+            for i, _ in ranked[pos : pos + sz]:
+                exp[i] = f"q{t + 1}"
+            pos += sz
+    got = {r["doc_id"]: r["bucket"] for r in out}
+    assert got == exp
+    # equal-count tiers per group
+    for lang in ("en", "fr"):
+        cnt = {}
+        for r in out:
+            if r["lang"] == lang:
+                cnt[r["bucket"]] = cnt.get(r["bucket"], 0) + 1
+        assert cnt == {"q1": 5, "q2": 5, "q3": 5, "q4": 5}
+    # integer-tile form + partition invariance
+    tiles = {
+        r["doc_id"]: r["bucket"]
+        for r in textprep.quantile_buckets(df, "score", by=["lang"], n_buckets=4).collect()
+    }
+    assert all(tiles[i] == int(exp[i][1]) for i in tiles)
+    rep = {
+        r["doc_id"]: r["bucket"]
+        for r in textprep.quantile_buckets(
+            df.repartition(7), "score", by=["lang"], n_buckets=4,
+            labels=["q1", "q2", "q3", "q4"],
+        ).collect()
+    }
+    assert rep == got
+    with pytest.raises(ValueError):
+        textprep.quantile_buckets(df, "score", n_buckets=1)
+    with pytest.raises(ValueError):
+        textprep.quantile_buckets(df, "score", n_buckets=3, labels=["a", "b"])

@@ -23,7 +23,7 @@ reproduce the exact outputs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -429,3 +429,45 @@ def bigram_lm_score(
             F.coalesce(F.col("n_transitions"), F.lit(0)).alias("n_transitions"),
         )
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    n_buckets: int = 3,
+    labels: list[str] | None = None,
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Per-group quantile bucketing — the CCNet head/middle/tail split
+    (Wenzek '20 §4.3: rank every document by LM score WITHIN its
+    language, cut into equal-count tiers, train on the head): ntile
+    over (value desc, md5(id), id) inside each ``by`` group, with
+    optional tier ``labels`` replacing the 1-based tile index. Ties
+    and float noise are neutralized by the md5(id) tie-break, so the
+    assignment is deterministic, partition-invariant, and
+    engine-replayable (round engine-derived float scores BEFORE
+    bucketing — the q87 6dp contract — or last-ulp differences can
+    reorder near-equal neighbors).
+
+    Scale note: one window sort per group — languages are few and the
+    sort is the point (exact equal-count tiers). For a skew-free
+    approximation at 10^12 docs, bucket by normalize.ecdf thresholds
+    instead (two scans, no per-group sort)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError(f"labels must have {n_buckets} entries, got {len(labels)}")
+    w = Window.partitionBy(*(by or [])).orderBy(
+        F.desc(value_col), F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    tile = F.ntile(int(n_buckets)).over(w)
+    if labels is None:
+        return df.withColumn(bucket_col, tile)
+    lab = None
+    for i, name in enumerate(labels[:-1]):
+        cond = tile == (i + 1)
+        lab = F.when(cond, name) if lab is None else lab.when(cond, name)
+    lab = lab.otherwise(labels[-1]) if lab is not None else F.lit(labels[-1])
+    return df.withColumn(bucket_col, lab)
