@@ -173,6 +173,22 @@ CHECKS = {
     "q90_cascade_stats": ["partial_", "ReadSchema: struct<text:string>"],
     # contamination: benchmark gram set must BROADCAST; no pair join
     "q91_contamination_score": ["BroadcastHashJoin", "partial_", "!Cartesian"],
+    # bigram-LM scoring: transition/context stats are map-side-combined
+    # hash aggregations; the transition→stats probes are equi-joins
+    # (a BroadcastNestedLoopJoin DOES appear: the 1-row vocab-size
+    # scalar crossJoined back — constant build side, the q75 pattern —
+    # so the negative is !SortMergeJoin, not !NestedLoop); the whole
+    # chain is native expressions — no Python evaluator
+    "q87_bigram_lm": ["partial_", "!Cartesian", "!SortMergeJoin",
+                      "!ArrowEvalPython", "!BatchEvalPython"],
+    # URL canonicalization is pure projection: no shuffle at all, scan
+    # pruned to the two columns the query returns (id + raw url)
+    "q88_canonical_url": ["!Exchange", "ReadSchema: struct<doc_id:bigint,source:string>"],
+    # CCNet head/middle/tail: the per-language ntile is ONE window over
+    # an Exchange hashpartitioning(lang) — never a single-partition
+    # global sort; upstream LM stats stay map-side combined and native
+    "q92_perplexity_buckets": ["partial_", "!Exchange SinglePartition",
+                               "!ArrowEvalPython", "!Cartesian"],
 }
 
 
