@@ -3406,6 +3406,63 @@ FROM r
 """
 
 
+def q93_dsir_selection(spark, sf_dir):
+    """DSIR importance-weighted selection (Xie '23; webdq.dsir): every
+    document scored by the hashed-{1,2}-gram log-likelihood ratio of
+    the lang='en' TARGET subset vs the WHOLE corpus (Laplace α=1,
+    dim=4096, portable md5 buckets), selected = positive score. The
+    target side re-scans with the pushed-down lang filter (cheaper at
+    scale than a doc_id semi-join); the weight table is broadcast.
+    Scores rounded to 6dp BEFORE the selection flag — the q87/q92
+    grouped-float-sum contract — so DuckDB replays hash, smoothing,
+    scoring, and the flag end-to-end."""
+    from webdq import dsir
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    kw = dict(dim=4096, ngram_ns=(1, 2), portable=True)
+    raw = dsir.ngram_bucket_counts(d, **kw)
+    tgt = dsir.ngram_bucket_counts(d.filter(F.col("lang") == "en"), **kw)
+    weights = dsir.fit_log_ratio(tgt, raw, dim=4096)
+    scored = dsir.dsir_score(raw, weights)
+    r = F.round(F.col("dsir_score"), 6)
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        r.alias("dsir_score"),
+        (r > 0).alias("selected"),
+    )
+
+
+SQL_93 = r"""
+WITH t AS (SELECT doc_id, lang,
+                  regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w
+           FROM documents),
+ uni AS (SELECT doc_id, lang, unnest(w) AS g FROM t),
+ big AS (SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS g
+         FROM (SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i
+               FROM t WHERE len(w) >= 2)),
+ g AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+ gb AS (SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS b
+        FROM g WHERE g <> ''),
+ dc AS (SELECT doc_id, lang, b, count(*) AS n FROM gb GROUP BY doc_id, lang, b),
+ tc AS (SELECT b, sum(n) AS ct FROM dc WHERE lang = 'en' GROUP BY b),
+ rc AS (SELECT b, sum(n) AS cr FROM dc GROUP BY b),
+ tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tc) AS T,
+                (SELECT coalesce(sum(cr), 0) FROM rc) AS R),
+ wt AS (SELECT rc.b,
+               ln((coalesce(tc.ct, 0) + 1.0) / (T + 4096.0))
+             - ln((cr + 1.0) / (R + 4096.0)) AS w
+        FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot),
+ sc AS (SELECT dc.doc_id,
+               CAST(sum(dc.n) AS BIGINT) AS n_grams,
+               round(sum(dc.n * wt.w), 6) AS dsir_score
+        FROM dc JOIN wt ON dc.b = wt.b
+        GROUP BY dc.doc_id)
+SELECT doc_id, n_grams, dsir_score, dsir_score > 0 AS selected FROM sc
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # q00b holds the flagship's window slot (VERDICT r5 #3): the same
     # feature→normalize→project→assign→label chain, value-exact via the
@@ -3514,6 +3571,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q90_cascade_stats": q90_cascade_stats,
     "q91_contamination_score": q91_contamination_score,
     "q92_perplexity_buckets": q92_perplexity_buckets,
+    "q93_dsir_selection": q93_dsir_selection,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3607,6 +3665,7 @@ _ORACLES: dict[str, str] = {
     "q90_cascade_stats": SQL_90,
     "q91_contamination_score": SQL_91,
     "q92_perplexity_buckets": SQL_92,
+    "q93_dsir_selection": SQL_93,
 }
 
 

@@ -184,6 +184,12 @@ CHECKS = {
     # URL canonicalization is pure projection: no shuffle at all, scan
     # pruned to the two columns the query returns (id + raw url)
     "q88_canonical_url": ["!Exchange", "ReadSchema: struct<doc_id:bigint,source:string>"],
+    # DSIR: gram counts and per-doc scoring both map-side combined;
+    # the dim-bounded weight table must BROADCAST into the scoring
+    # join; everything native (1-row totals ride a BroadcastNestedLoop
+    # crossJoin — the q75 constant-build pattern, so no !NestedLoop)
+    "q93_dsir_selection": ["partial_", "BroadcastHashJoin", "!Cartesian",
+                           "!ArrowEvalPython", "!BatchEvalPython"],
     # CCNet head/middle/tail: the per-language ntile is ONE window over
     # an Exchange hashpartitioning(lang) — never a single-partition
     # global sort; upstream LM stats stay map-side combined and native

@@ -46,24 +46,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
-def hashed_features(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    dim: int = 1 << 15,
-    ngram_ns: tuple = (1,),
-    portable: bool = False,
-) -> DataFrame:
-    """(id, buckets:array<int>, vals:array<double>) — hashed
-    bag-of-n-grams, L1-normalized per document (fastText averages
-    token vectors; the linear model absorbs any fixed scaling).
-    Buckets are sorted ascending (deterministic layout).
-
-    ``portable=True`` buckets by the first 15 hex digits of md5(gram)
-    (60 bits, signed-long safe) instead of xxhash64 — bit-identical in
-    any engine with md5 (DuckDB: ``('0x'||substr(md5(g),1,15))::BIGINT``),
-    the same cross-engine pattern as dedup.simhash64_portable. xxhash64
-    stays the default: one JVM hash beats a hex md5 round-trip."""
+def ngram_array(text_col: str = "text", ngram_ns: tuple = (1,)):
+    """Column expression: every word n-gram of the given orders over a
+    whitespace split, one concatenated array (n-grams joined by a
+    single space). Shared by ``hashed_features`` and ``webdq.dsir``."""
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     grams = []
     for n in ngram_ns:
@@ -82,7 +68,28 @@ def hashed_features(
                     F.transform(z, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)]))
                 )
             )
-    allg = grams[0] if len(grams) == 1 else F.concat(*grams)
+    return grams[0] if len(grams) == 1 else F.concat(*grams)
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1 << 15,
+    ngram_ns: tuple = (1,),
+    portable: bool = False,
+) -> DataFrame:
+    """(id, buckets:array<int>, vals:array<double>) — hashed
+    bag-of-n-grams, L1-normalized per document (fastText averages
+    token vectors; the linear model absorbs any fixed scaling).
+    Buckets are sorted ascending (deterministic layout).
+
+    ``portable=True`` buckets by the first 15 hex digits of md5(gram)
+    (60 bits, signed-long safe) instead of xxhash64 — bit-identical in
+    any engine with md5 (DuckDB: ``('0x'||substr(md5(g),1,15))::BIGINT``),
+    the same cross-engine pattern as dedup.simhash64_portable. xxhash64
+    stays the default: one JVM hash beats a hex md5 round-trip."""
+    allg = ngram_array(text_col, ngram_ns)
     if portable:
         h = F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10).cast("long")
     else:
