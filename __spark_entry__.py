@@ -3463,6 +3463,62 @@ SELECT doc_id, n_grams, dsir_score, dsir_score > 0 AS selected FROM sc
 """
 
 
+def q94_bloom_dedup(spark, sf_dir):
+    """Bloom-filter membership dedup (dedup.bloom_build/bloom_probe):
+    the "already ingested" corpus (doc_id % 3 == 0) builds a 1024-bit
+    k=3 bitmap over text-md5 fingerprints; every document probes it.
+    Output discloses the approximation exactly: maybe_present (the
+    Bloom verdict), is_dup (exact fingerprint membership), and
+    false_positive — the oracle replays salted hash positions, the
+    distinct position set, the per-doc AND, and the exact check, so
+    the false positives themselves are value-checked. The guarantee
+    under test: no false NEGATIVES (every is_dup row is flagged).
+    m=1024 is deliberately small so false positives occur at sf0.01;
+    real use sizes m from fp ≈ (1−e^(−kn/m))^k."""
+    from webdq import dedup
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp")
+    )
+    build = d.filter(F.col("doc_id") % 3 == 0).select("fp")
+    bm = dedup.bloom_build(build, "fp", m_bits=1024, k=3)
+    flagged = dedup.bloom_probe(d, bm, "fp", m_bits=1024, k=3)
+    exact = build.distinct().withColumn("_dup", F.lit(True))
+    return (
+        d.join(flagged, "doc_id")
+        .join(F.broadcast(exact), "fp", "left")
+        .select(
+            "doc_id",
+            "maybe_present",
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+            (
+                F.col("maybe_present")
+                & ~F.coalesce(F.col("_dup"), F.lit(False))
+            ).alias("false_positive"),
+        )
+    )
+
+
+SQL_94 = r"""
+WITH d AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents),
+ b AS (SELECT DISTINCT fp FROM d WHERE doc_id % 3 = 0),
+ bpos AS (SELECT DISTINCT
+            CAST(('0x' || substr(md5(j || ':' || fp), 1, 15)) AS BIGINT) % 1024 AS p
+          FROM b CROSS JOIN (SELECT unnest(range(3)) AS j)),
+ pr AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(j || ':' || fp), 1, 15)) AS BIGINT) % 1024 AS p
+        FROM d CROSS JOIN (SELECT unnest(range(3)) AS j)),
+ hit AS (SELECT pr.doc_id,
+                bool_and(bpos.p IS NOT NULL) AS maybe_present
+         FROM pr LEFT JOIN bpos ON pr.p = bpos.p
+         GROUP BY pr.doc_id)
+SELECT h.doc_id, h.maybe_present,
+       (d.fp IN (SELECT fp FROM b)) AS is_dup,
+       h.maybe_present AND d.fp NOT IN (SELECT fp FROM b) AS false_positive
+FROM hit h JOIN d ON h.doc_id = d.doc_id
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # q00b holds the flagship's window slot (VERDICT r5 #3): the same
     # feature→normalize→project→assign→label chain, value-exact via the
@@ -3572,6 +3628,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_contamination_score": q91_contamination_score,
     "q92_perplexity_buckets": q92_perplexity_buckets,
     "q93_dsir_selection": q93_dsir_selection,
+    "q94_bloom_dedup": q94_bloom_dedup,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3666,6 +3723,7 @@ _ORACLES: dict[str, str] = {
     "q91_contamination_score": SQL_91,
     "q92_perplexity_buckets": SQL_92,
     "q93_dsir_selection": SQL_93,
+    "q94_bloom_dedup": SQL_94,
 }
 
 

@@ -465,3 +465,51 @@ def test_contamination_score(spark):
     assert self_scored[100] == 1.0
     with pytest.raises(ValueError):
         dedup.contamination_score(docs, bench, k=0)
+
+
+def test_bloom_membership_matches_python(spark):
+    import hashlib
+
+    import pytest
+
+    from webdq.dedup import bloom_build, bloom_probe
+
+    m, k = 256, 3
+    build_keys = [f"key{i}" for i in range(40)]
+    probe = [(i, f"key{i}") for i in range(100)]  # 0-39 present
+
+    def positions(key):
+        return [
+            int(hashlib.md5(f"{j}:{key}".encode()).hexdigest()[:15], 16) % m
+            for j in range(k)
+        ]
+
+    bset = {p for key in build_keys for p in positions(key)}
+    exp = {i: all(p in bset for p in positions(key)) for i, key in probe}
+
+    bdf = spark.createDataFrame([(x,) for x in build_keys], "fp string")
+    pdf = spark.createDataFrame(probe, "doc_id long, fp string")
+    bm = bloom_build(bdf, "fp", m_bits=m, k=k)
+    assert bm.count() == m // 64
+    got = {
+        r["doc_id"]: r["maybe_present"]
+        for r in bloom_probe(pdf, bm, "fp", m_bits=m, k=k).collect()
+    }
+    assert got == exp
+    # the Bloom guarantee: NO false negatives, and the tiny m forces
+    # at least one false positive so the approximate path is real
+    assert all(got[i] for i in range(40))
+    assert any(got[i] for i in range(40, 100))
+    # partition invariance
+    rep = {
+        r["doc_id"]: r["maybe_present"]
+        for r in bloom_probe(
+            pdf.repartition(7), bloom_build(bdf.repartition(5), "fp", m_bits=m, k=k),
+            "fp", m_bits=m, k=k,
+        ).collect()
+    }
+    assert rep == got
+    with pytest.raises(ValueError):
+        bloom_build(bdf, "fp", m_bits=100)
+    with pytest.raises(ValueError):
+        bloom_build(bdf, "fp", m_bits=128, k=0)

@@ -190,6 +190,11 @@ CHECKS = {
     # crossJoin — the q75 constant-build pattern, so no !NestedLoop)
     "q93_dsir_selection": ["partial_", "BroadcastHashJoin", "!Cartesian",
                            "!ArrowEvalPython", "!BatchEvalPython"],
+    # Bloom membership: bitmap build is ONE map-side-combined bit_or
+    # agg; the bitmap and the exact-check side must both BROADCAST
+    # into the probe; no data×data join anywhere
+    "q94_bloom_dedup": ["partial_", "BroadcastHashJoin", "!Cartesian",
+                        "!NestedLoop", "!ArrowEvalPython"],
     # CCNet head/middle/tail: the per-language ntile is ONE window over
     # an Exchange hashpartitioning(lang) — never a single-partition
     # global sort; upstream LM stats stay map-side combined and native

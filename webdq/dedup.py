@@ -843,3 +843,85 @@ def contamination_score(
             ).alias("overlap_frac"),
         )
     )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k: int = 3,
+) -> DataFrame:
+    """(word, bits) — a packed Bloom bitmap over ``keys[key_col]``:
+    k md5-salted hash positions per key (salt ``"{j}:"`` prefixed, the
+    engine-portable md5-prefix hash), OR-folded into 64-bit words by
+    ONE map-side-combined groupBy. The approximate-membership build
+    for deduping a stream against a reference key set too large to
+    keep re-joining: the bitmap is ``m_bits/64`` rows REGARDLESS of
+    build cardinality (10^11 ingested fingerprints → the same m/64-row
+    table), built in one linear scan.
+
+    Size m_bits for the false-positive budget: fp ≈ (1−e^(−kn/m))^k.
+    The bitmap stays a DataFrame — ``bloom_probe`` broadcasts it when
+    small; at billions of bits the probe join degrades gracefully to a
+    shuffled equi-join on the word index (never data×data)."""
+    if m_bits < 64 or m_bits % 64:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pos = _bloom_positions(key_col, m_bits, k)
+    return (
+        keys.select(F.explode(pos).alias("_p"))
+        .groupBy(F.shiftright("_p", 6).alias("word"))
+        # pyspark's shiftleft() insists on a literal bit count — the
+        # SQL form takes a column
+        .agg(F.bit_or(F.expr(_BIT_MASK)).alias("bits"))
+    )
+
+
+_BIT_MASK = "shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p, 64) AS INT))"
+
+
+def _bloom_positions(key_col: str, m_bits: int, k: int):
+    key = F.col(key_col).cast("string")
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{j}:"), key)), 1, 15), 16, 10
+                ).cast("long"),
+                F.lit(int(m_bits)),
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bitmap: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k: int = 3,
+    id_col: str = "doc_id",
+    flag_col: str = "maybe_present",
+) -> DataFrame:
+    """(id, maybe_present) — probe each row's key against a
+    ``bloom_build`` bitmap: k exploded positions, one broadcast
+    equi-join on the word index, and a per-id AND (min over booleans).
+    ``maybe_present = false`` is a GUARANTEE the key was never built
+    (no false negatives); ``true`` is approximate — route those rows
+    to an exact check (``dedup_against``) or accept the disclosed
+    false-positive rate. One explode (k rows/doc), no data×data join."""
+    pos = _bloom_positions(key_col, m_bits, k)
+    mask = F.expr(_BIT_MASK)
+    return (
+        df.select(F.col(id_col), F.explode(pos).alias("_p"))
+        .withColumn("word", F.shiftright("_p", 6))
+        .join(F.broadcast(bitmap), "word", "left")
+        .select(
+            id_col,
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(mask) != 0).alias("_hit"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_hit").alias(flag_col))
+    )
