@@ -3519,6 +3519,44 @@ FROM hit h JOIN d ON h.doc_id = d.doc_id
 """
 
 
+def q95_orc_source(spark, sf_dir):
+    """ORC source/sink roundtrip (the third columnar interchange next
+    to q49's parquet and q70's JSONL — ORC is Spark-native, no extra
+    package): documents → ORC (zlib, the format default) → read back
+    with an EXPLICIT schema → aggregate. The scan column-prunes below
+    the declared schema exactly like parquet (plan-audited); the
+    oracle reads the original parquet, value-checking the roundtrip."""
+    import os
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"webdq_orc_stage_{os.getpid()}",
+        os.path.basename(sf_dir.rstrip("/")),
+        "documents",
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    d.write.mode("overwrite").orc(stage)
+    back = spark.read.schema(
+        "doc_id LONG, lang STRING, source STRING, n_chars LONG"
+    ).orc(stage)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.max("doc_id").alias("max_doc"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+SQL_95 = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       max(doc_id) AS max_doc,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY source
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # q00b holds the flagship's window slot (VERDICT r5 #3): the same
     # feature→normalize→project→assign→label chain, value-exact via the
@@ -3629,6 +3667,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_perplexity_buckets": q92_perplexity_buckets,
     "q93_dsir_selection": q93_dsir_selection,
     "q94_bloom_dedup": q94_bloom_dedup,
+    "q95_orc_source": q95_orc_source,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3724,6 +3763,7 @@ _ORACLES: dict[str, str] = {
     "q92_perplexity_buckets": SQL_92,
     "q93_dsir_selection": SQL_93,
     "q94_bloom_dedup": SQL_94,
+    "q95_orc_source": SQL_95,
 }
 
 

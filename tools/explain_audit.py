@@ -195,6 +195,9 @@ CHECKS = {
     # into the probe; no data×data join anywhere
     "q94_bloom_dedup": ["partial_", "BroadcastHashJoin", "!Cartesian",
                         "!NestedLoop", "!ArrowEvalPython"],
+    # ORC roundtrip: the read-back must be a columnar (batched) ORC
+    # scan with map-side-combined aggregation — same gate as parquet
+    "q95_orc_source": ["partial_", "Batched: true"],
     # CCNet head/middle/tail: the per-language ntile is ONE window over
     # an Exchange hashpartitioning(lang) — never a single-partition
     # global sort; upstream LM stats stay map-side combined and native
