@@ -3557,6 +3557,89 @@ FROM documents GROUP BY source
 """
 
 
+def _q96_scored(spark, sf_dir):
+    # deterministic pseudo-score with heavy ties (49 distinct values)
+    # so threshold grouping, tie handling, and the bucketed cumulative
+    # are all exercised; label = the lang='en' "positive" class
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        (
+            (F.length(F.coalesce(F.col("text"), F.lit(""))) % 97).cast("double")
+            / 97.0
+        ).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+
+
+def q96_pr_curve(spark, sf_dir):
+    """Precision-recall curve (webdq.evaluation.pr_curve): one row per
+    distinct score threshold with exact integer tp/fp/fn and the
+    prec/rec ratios — calibration for the quality-filter keep
+    threshold. Exact WITHOUT a global data-sized sort (range-bucketed
+    cumulative, the select_by_budget pattern); counts are integers and
+    the ratios single IEEE divisions, so the oracle matches with NO
+    rounding contract."""
+    from webdq import evaluation
+
+    return evaluation.pr_curve(_q96_scored(spark, sf_dir), n_buckets=16)
+
+
+SQL_96 = """
+WITH s AS (SELECT CAST(length(coalesce(text, '')) % 97 AS DOUBLE) / 97 AS sc,
+                  (lang = 'en') AS y
+           FROM documents),
+ g AS (SELECT sc,
+              CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+              CAST(count(*) - sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS neg
+       FROM s GROUP BY sc),
+ c AS (SELECT sc,
+              CAST(sum(pos) OVER (ORDER BY sc DESC) AS BIGINT) AS tp,
+              CAST(sum(neg) OVER (ORDER BY sc DESC) AS BIGINT) AS fp
+       FROM g),
+ t AS (SELECT CAST(sum(pos) AS BIGINT) AS P FROM g)
+SELECT sc AS threshold, tp, fp, P - tp AS fn,
+       tp / CAST(tp + fp AS DOUBLE) AS prec,
+       tp / CAST(P AS DOUBLE) AS rec
+FROM c CROSS JOIN t
+"""
+
+
+def q97_average_precision(spark, sf_dir):
+    """Average precision (webdq.evaluation.average_precision): the
+    step-rule area under q96's PR curve, Σ Δrec·prec over descending
+    thresholds. One float sum over threshold order — rounded to 6dp
+    (the repo-wide grouped-float-sum contract)."""
+    from webdq import evaluation
+
+    ap = evaluation.average_precision(_q96_scored(spark, sf_dir), n_buckets=16)
+    return ap.select(
+        F.round(F.col("avg_precision"), 6).alias("avg_precision"), "n_thresholds"
+    )
+
+
+SQL_97 = """
+WITH s AS (SELECT CAST(length(coalesce(text, '')) % 97 AS DOUBLE) / 97 AS sc,
+                  (lang = 'en') AS y
+           FROM documents),
+ g AS (SELECT sc,
+              sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+              count(*) - sum(CASE WHEN y THEN 1 ELSE 0 END) AS neg
+       FROM s GROUP BY sc),
+ c AS (SELECT sc, sum(pos) OVER (ORDER BY sc DESC) AS tp,
+              sum(neg) OVER (ORDER BY sc DESC) AS fp
+       FROM g),
+ t AS (SELECT sum(pos) AS P FROM g),
+ r AS (SELECT sc, tp / CAST(tp + fp AS DOUBLE) AS prec,
+              tp / CAST(P AS DOUBLE) AS rec
+       FROM c CROSS JOIN t),
+ d AS (SELECT prec, rec - coalesce(lag(rec) OVER (ORDER BY sc DESC), 0.0) AS drec
+       FROM r)
+SELECT round(sum(drec * prec), 6) AS avg_precision,
+       CAST(count(*) AS BIGINT) AS n_thresholds
+FROM d
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # q00b holds the flagship's window slot (VERDICT r5 #3): the same
     # feature→normalize→project→assign→label chain, value-exact via the
@@ -3668,6 +3751,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_dsir_selection": q93_dsir_selection,
     "q94_bloom_dedup": q94_bloom_dedup,
     "q95_orc_source": q95_orc_source,
+    "q96_pr_curve": q96_pr_curve,
+    "q97_average_precision": q97_average_precision,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3764,6 +3849,8 @@ _ORACLES: dict[str, str] = {
     "q93_dsir_selection": SQL_93,
     "q94_bloom_dedup": SQL_94,
     "q95_orc_source": SQL_95,
+    "q96_pr_curve": SQL_96,
+    "q97_average_precision": SQL_97,
 }
 
 

@@ -198,6 +198,12 @@ CHECKS = {
     # ORC roundtrip: the read-back must be a columnar (batched) ORC
     # scan with map-side-combined aggregation — same gate as parquet
     "q95_orc_source": ["partial_", "Batched: true"],
+    # PR curve: distinct-score stats map-side combined; the min/max
+    # bounds and bucket offsets ride 1-row/16-row BROADCASTS; the only
+    # ordered window partitions by bucket (the n_buckets-bounded
+    # cross-bucket cumulative is disclosed in the docstring)
+    "q96_pr_curve": ["partial_", "BroadcastHashJoin", "!Cartesian",
+                     "!ArrowEvalPython"],
     # CCNet head/middle/tail: the per-language ntile is ONE window over
     # an Exchange hashpartitioning(lang) — never a single-partition
     # global sort; upstream LM stats stay map-side combined and native
