@@ -3640,6 +3640,121 @@ FROM d
 """
 
 
+def q98_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff — dataset-versioning accounting between
+    two crawls (the delta-ingest sibling of q69/q89, but REPORTING
+    instead of filtering): snapshot A = doc_id % 4 != 1, snapshot B =
+    doc_id % 4 != 2 (deterministic overlapping splits of the fixture;
+    % 4 == 3 rows CHANGE text via a marker suffix in B). One full
+    outer join on doc_id classifies every id as added / removed /
+    changed / unchanged, then per-source counts. The join keys are
+    unique per side (no fan-out); counts are exact integers."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    a = d.filter(F.col("doc_id") % 4 != 1).select(
+        "doc_id", "source", F.md5(F.coalesce("text", F.lit(""))).alias("h_a")
+    )
+    b = d.filter(F.col("doc_id") % 4 != 2).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 4 == 3,
+                F.concat(F.coalesce("text", F.lit("")), F.lit(" [rev2]")),
+            ).otherwise(F.coalesce("text", F.lit("")))
+        ).alias("h_b"),
+    )
+    j = a.join(b, ["doc_id", "source"], "full_outer")
+    status = (
+        F.when(F.col("h_a").isNull(), "added")
+        .when(F.col("h_b").isNull(), "removed")
+        .when(F.col("h_a") != F.col("h_b"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select("source", status.alias("status"))
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_98 = """
+WITH d AS (SELECT doc_id, source, coalesce(text, '') AS t FROM documents),
+ a AS (SELECT doc_id, source, md5(t) AS h_a FROM d WHERE doc_id % 4 <> 1),
+ b AS (SELECT doc_id, source,
+              md5(CASE WHEN doc_id % 4 = 3 THEN t || ' [rev2]' ELSE t END) AS h_b
+       FROM d WHERE doc_id % 4 <> 2),
+ j AS (SELECT coalesce(a.source, b.source) AS source,
+              CASE WHEN a.h_a IS NULL THEN 'added'
+                   WHEN b.h_b IS NULL THEN 'removed'
+                   WHEN a.h_a <> b.h_b THEN 'changed'
+                   ELSE 'unchanged' END AS status
+       FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT source, status, count(*) AS n_docs FROM j GROUP BY source, status
+"""
+
+
+def q99_filter_agreement(spark, sf_dir):
+    """Two-filter agreement (Cohen's kappa over the 2×2 contingency —
+    Cohen '60, public): rule A = Gopher-ish word-count window (50 ≤
+    words ≤ 150), rule B = mean-word-length window (3 ≤ mwl ≤ 10) —
+    two real quality rules whose agreement a pipeline audits before
+    swapping one for the other. ONE map-side-combined aggregation
+    builds all four cells; kappa = (po − pe)/(1 − pe) from exact
+    integer cells (single IEEE ops, rounded 6dp for the cross-engine
+    hash only because pe mixes products of counts)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    words = F.size(F.filter(toks, lambda t: t != ""))
+    chars = F.length(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", ""))
+    a = (words >= 50) & (words <= 150)
+    b_ok = (words > 0) & ((chars / words) >= 3.0) & ((chars / words) <= 10.0)
+    cells = d.select(
+        a.cast("int").alias("_a"), b_ok.cast("int").alias("_b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_a") * F.col("_b")).cast("long").alias("n11"),
+        F.sum(F.col("_a") * (1 - F.col("_b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("_a")) * F.col("_b")).cast("long").alias("n01"),
+    )
+    n, n11, n10, n01 = F.col("n"), F.col("n11"), F.col("n10"), F.col("n01")
+    n00 = n - n11 - n10 - n01
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    return cells.select(
+        n11.alias("n11"),
+        n10.alias("n10"),
+        n01.alias("n01"),
+        n00.cast("long").alias("n00"),
+        F.round(po, 6).alias("p_agree"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+SQL_99 = r"""
+WITH s AS (SELECT len(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+                                  t -> t <> '')) AS words,
+                  length(regexp_replace(coalesce(text, ''), '\s+', '', 'g')) AS chars
+           FROM documents),
+ f AS (SELECT CASE WHEN words >= 50 AND words <= 150 THEN 1 ELSE 0 END AS a,
+              CASE WHEN words > 0 AND chars / CAST(words AS DOUBLE) >= 3.0
+                        AND chars / CAST(words AS DOUBLE) <= 10.0 THEN 1 ELSE 0 END AS b
+       FROM s),
+ c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(a * b) AS BIGINT) AS n11,
+              CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+              CAST(sum((1 - a) * b) AS BIGINT) AS n01
+       FROM f)
+SELECT n11, n10, n01, n - n11 - n10 - n01 AS n00,
+       round((n11 + (n - n11 - n10 - n01)) / CAST(n AS DOUBLE), 6) AS p_agree,
+       round(((n11 + (n - n11 - n10 - n01)) / CAST(n AS DOUBLE)
+              - ((n11 + n10) * (n11 + n01) + (n01 + (n - n11 - n10 - n01)) * (n10 + (n - n11 - n10 - n01)))
+                / (CAST(n AS DOUBLE) * n))
+             / (1 - ((n11 + n10) * (n11 + n01) + (n01 + (n - n11 - n10 - n01)) * (n10 + (n - n11 - n10 - n01)))
+                    / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+FROM c
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # q00b holds the flagship's window slot (VERDICT r5 #3): the same
     # feature→normalize→project→assign→label chain, value-exact via the
@@ -3753,6 +3868,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_orc_source": q95_orc_source,
     "q96_pr_curve": q96_pr_curve,
     "q97_average_precision": q97_average_precision,
+    "q98_snapshot_diff": q98_snapshot_diff,
+    "q99_filter_agreement": q99_filter_agreement,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3851,6 +3968,8 @@ _ORACLES: dict[str, str] = {
     "q95_orc_source": SQL_95,
     "q96_pr_curve": SQL_96,
     "q97_average_precision": SQL_97,
+    "q98_snapshot_diff": SQL_98,
+    "q99_filter_agreement": SQL_99,
 }
 
 

@@ -204,6 +204,15 @@ CHECKS = {
     # cross-bucket cumulative is disclosed in the docstring)
     "q96_pr_curve": ["partial_", "BroadcastHashJoin", "!Cartesian",
                      "!ArrowEvalPython"],
+    # snapshot diff: unique-key full outer join (SortMergeJoin is the
+    # right shape for two same-sized sides) + map-side-combined counts;
+    # never a cartesian, no Python
+    "q98_snapshot_diff": ["partial_", "!Cartesian", "!NestedLoop",
+                          "!ArrowEvalPython"],
+    # filter agreement: the whole 2x2 contingency is ONE map-side-
+    # combined aggregate over a single scan — no join, no shuffle
+    # beyond the final 1-row exchange, scan pruned to text alone
+    "q99_filter_agreement": ["partial_", "!Join", "ReadSchema: struct<text:string>"],
     # CCNet head/middle/tail: the per-language ntile is ONE window over
     # an Exchange hashpartitioning(lang) — never a single-partition
     # global sort; upstream LM stats stay map-side combined and native
