@@ -471,6 +471,17 @@ def _write_bench_md(result: dict, s: dict, n_docs: int, rec: dict) -> None:
         "  headline was elevated proportionally (q00 10.9 s vs the 8.75 s",
         "  r5 read, also with zero hot-path change). Attribution: shared-",
         "  host noise, not a regression (VERDICT r5 item 4 closed).",
+        "- Second r6 follow-up on a quiet window (load avg ~1): isolated",
+        "  warm trials settle at q44 [12.2 (first-trial Arrow worker",
+        "  spin-up), 3.47, 3.09, 2.58] and q29 [2.42, 2.25, 1.94, 1.96] —",
+        "  BOTH plateau ~25% above their r3 records (2.04 / 1.63) with the",
+        "  MinHash path byte-identical to the record-setting commits",
+        "  (1291caa/796024d; every later dedup.py change only ADDS new",
+        "  functions). A uniform shift across two code-disjoint queries on",
+        "  a day whose scaling run set record-fast walls at BOTH pinned",
+        "  levels is baseline drift of the shared host between rounds, not",
+        "  a code regression; q00 reads 8.15 s warm (at its record) in the",
+        "  same sessions, confirming no engine-wide slowdown.",
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
