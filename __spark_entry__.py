@@ -3755,6 +3755,32 @@ FROM c
 """
 
 
+def q100_bpe_merges(spark, sf_dir):
+    """Corpus BPE tokenizer training (textprep.learn_bpe, Sennrich
+    '16): the first 12 learned merges over the documents text, plus a
+    doc-level tokenization summary with the learned merges applied
+    (textprep.apply_bpe). ROWS-ONLY by design — the merge loop is an
+    iterative argmax algorithm (like q59's elbow sweep), not SQL-
+    expressible; exact-parity gates live in pytest
+    (tests/test_textprep.py: python-replay equality of the full merge
+    list, overlapping-run semantics, partition invariance)."""
+    from webdq import textprep
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = textprep.learn_bpe(d, n_merges=12)
+    toks = textprep.apply_bpe(d, merges)
+    summary = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+    )
+    mdf = spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long",
+    )
+    return mdf.crossJoin(F.broadcast(summary)).orderBy("rank")
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # q00b holds the flagship's window slot (VERDICT r5 #3): the same
     # feature→normalize→project→assign→label chain, value-exact via the
@@ -3870,6 +3896,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q97_average_precision": q97_average_precision,
     "q98_snapshot_diff": q98_snapshot_diff,
     "q99_filter_agreement": q99_filter_agreement,
+    "q100_bpe_merges": q100_bpe_merges,
 }
 
 _ORACLES: dict[str, str] = {

@@ -367,3 +367,95 @@ def test_quantile_buckets(spark):
         textprep.quantile_buckets(df, "score", n_buckets=1)
     with pytest.raises(ValueError):
         textprep.quantile_buckets(df, "score", n_buckets=3, labels=["a", "b"])
+
+
+# ---- BPE learn/apply ----
+
+def _py_merge_word(s, a, b):
+    out, i = [], 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+def _py_learn_bpe(texts, n_merges, min_pair_count=2):
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split())
+    syms = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, c in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b, cnt))
+        for w in syms:
+            syms[w] = _py_merge_word(syms[w], a, b)
+    return merges, syms
+
+
+BPE_TEXTS = [
+    "low low low low low",
+    "lower lower newest newest newest",
+    "newest newest newest widest widest",
+    "aaa abab low",
+    "",
+]
+
+
+def test_learn_bpe_matches_python(spark):
+    import pytest
+
+    from webdq import textprep
+
+    df = spark.createDataFrame([(t,) for t in BPE_TEXTS], "text string")
+    exp, _ = _py_learn_bpe(BPE_TEXTS, 10)
+    got = textprep.learn_bpe(df, 10)
+    assert got == exp
+    # overlapping-run semantics live in the fold: check 'aaa' directly
+    exp3, syms3 = _py_learn_bpe(["aaa aaa"], 1)
+    got3 = textprep.learn_bpe(spark.createDataFrame([("aaa aaa",)], "text string"), 1)
+    assert got3 == exp3 and syms3["aaa"] == ["aa", "a"]
+    # partition invariance
+    assert textprep.learn_bpe(df.repartition(7), 10) == exp
+    with pytest.raises(ValueError):
+        textprep.learn_bpe(df, 0)
+
+
+def test_apply_bpe_matches_python(spark):
+    from webdq import textprep
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BPE_TEXTS)], "doc_id long, text string"
+    )
+    merges, syms = _py_learn_bpe(BPE_TEXTS, 6)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in textprep.apply_bpe(df, merges, checkpoint_every=2).collect()
+    }
+    exp = {}
+    for i, t in enumerate(BPE_TEXTS):
+        ws = t.split()
+        if ws:
+            exp[i] = (len(ws), sum(len(syms[w]) for w in ws))
+    assert got == exp
+    # zero merges → pure character counts
+    got0 = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in textprep.apply_bpe(df, []).collect()
+    }
+    assert got0 == {
+        i: sum(len(w) for w in t.split()) for i, t in enumerate(BPE_TEXTS) if t.split()
+    }

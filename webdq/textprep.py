@@ -471,3 +471,165 @@ def quantile_buckets(
         lab = F.when(cond, name) if lab is None else lab.when(cond, name)
     lab = lab.otherwise(labels[-1]) if lab is not None else F.lit(labels[-1])
     return df.withColumn(bucket_col, lab)
+
+
+def _bpe_merge_fold(arr_col, a: str, b: str):
+    """Greedy non-overlapping left-to-right merge of adjacent (a, b) →
+    a+b inside a symbol array — the classic BPE apply step (Sennrich
+    '16), as ONE native aggregate fold with a (out, prev) carry: the
+    merged token never re-pairs with the next symbol in the same pass.
+    The lambda touches only its own element and the accumulator, so
+    the interpreted-HOF capture trap does not apply."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def step(acc, s):
+        return (
+            F.when(
+                acc["prev"].isNull(),
+                F.struct(acc["out"].alias("out"), s.alias("prev")),
+            )
+            .when(
+                (acc["prev"] == a) & (s == b),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(a + b))).alias("out"),
+                    F.lit(None).cast("string").alias("prev"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["prev"])).alias("out"),
+                    s.alias("prev"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["prev"]))
+        )
+
+    return F.aggregate(arr_col, init, step, finish)
+
+
+def _word_table(df: DataFrame, text_col: str) -> DataFrame:
+    return (
+        df.select(
+            F.explode(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")).alias(
+                "word"
+            )
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def learn_bpe(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_word_count: int = 1,
+    min_pair_count: int = 2,
+) -> list:
+    """Corpus-level BPE merge learning (Sennrich '16 word-level BPE,
+    GPT-2 practice): ONE corpus scan builds the (word, count) type
+    table; every merge iteration then runs on that table alone — a
+    pair-count groupBy (map-side combined), a deterministic 1-row
+    argmax (count desc, then lexicographic — TakeOrdered, no global
+    sort), and one native greedy merge fold. Returns the driver-side
+    merge list [(left, right, pair_count)] in rank order — bounded
+    O(n_merges) driver state, the KMeans-centroid pattern.
+
+    Word types, not occurrences, carry the iteration cost: a 10^12-
+    token corpus has ~10^8 word types, and ``min_word_count`` bounds
+    the table further (hapaxes rarely influence early merges). The
+    word table is eagerly localCheckpointed EVERY iteration — the
+    merge fold otherwise nests one aggregate per round and the plan
+    grows without bound (the DBSCAN iterative-loop gotcha). Symbols
+    split on UTF-16 code-unit boundaries (Java regex); astral-plane
+    text would need a codepoint splitter.
+
+    Stops early when no pair reaches ``min_pair_count``."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = _word_table(df, text_col)
+    if min_word_count > 1:
+        words = words.filter(F.col("cnt") >= int(min_word_count))
+    words = words.select(
+        "cnt", F.split("word", r"(?!^)(?=.)").alias("syms")
+    ).localCheckpoint(eager=True)
+    merges: list = []
+    for _ in range(int(n_merges)):
+        pairs = (
+            words.select(
+                "cnt",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(syms, 1, size(syms) - 1)").alias("l"),
+                        F.expr("slice(syms, 2, size(syms) - 1)").alias("r"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        top = pairs.orderBy(
+            F.desc("pair_count"), F.asc("left"), F.asc("right")
+        ).limit(1).collect()
+        if not top or top[0]["pair_count"] < min_pair_count:
+            break
+        a, b, c = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
+        merges.append((a, b, c))
+        prev = words
+        words = words.select(
+            "cnt", _bpe_merge_fold(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=True)
+        prev.unpersist()
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """(id, n_words, n_bpe_tokens) — tokenize every document with a
+    learned merge list (rank order, greedy per pass — exactly the
+    ``learn_bpe`` semantics). The merge folds run on the DISTINCT-word
+    table only; documents then equi-join word → token count and sum —
+    the corpus never re-tokenizes per occurrence. Folds are
+    checkpointed every ``checkpoint_every`` merges to keep the plan
+    bounded."""
+    occ = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    uw = occ.select("word").distinct().withColumn(
+        "syms", F.split("word", r"(?!^)(?=.)")
+    )
+    for i, m in enumerate(merges):
+        a, b = m[0], m[1]
+        uw = uw.withColumn("syms", _bpe_merge_fold(F.col("syms"), a, b))
+        if (i + 1) % int(checkpoint_every) == 0:
+            uw = uw.localCheckpoint(eager=True)
+    uw = uw.select("word", F.size("syms").alias("_wt"))
+    return (
+        occ.join(uw, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("_wt")).cast("long").alias("n_bpe_tokens"),
+        )
+    )
