@@ -420,3 +420,96 @@ def test_chunk_documents_zero_overlap_reconstructs(toks, chunk_tokens):
     assert " ".join(r["chunk_text"] for r in rows) == " ".join(norm_toks)
     assert all(len(r["chunk_text"].split(" ")) <= chunk_tokens for r in rows)
     assert sum(r["n_tokens"] for r in rows) == len(norm_toks)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    keys=st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=4), min_size=1, max_size=30),
+    n_build=st.integers(min_value=0, max_value=20),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_bloom_no_false_negatives_property(keys, n_build, k):
+    """The Bloom guarantee under arbitrary keys: every built key probes
+    maybe_present=true, and the probe matches the pure-python bitmap."""
+    import hashlib
+
+    from webdq.dedup import bloom_build, bloom_probe
+
+    spark = _get_spark()
+    m = 128
+    build = sorted(set(keys[:n_build]))
+    probe = sorted(set(keys))
+
+    def pos(key):
+        return [
+            int(hashlib.md5(f"{j}:{key}".encode()).hexdigest()[:15], 16) % m
+            for j in range(k)
+        ]
+
+    bset = {p for key in build for p in pos(key)}
+    exp = {key: all(p in bset for p in pos(key)) for key in probe}
+    bdf = spark.createDataFrame([(x,) for x in build] or [("",)], "fp string")
+    if not build:
+        bdf = bdf.filter(F.col("fp") != "")
+    pdf = spark.createDataFrame(list(enumerate(probe)), "doc_id long, fp string")
+    got = {
+        probe[r["doc_id"]]: r["maybe_present"]
+        for r in bloom_probe(pdf, bloom_build(bdf, "fp", m_bits=m, k=k), "fp", m_bits=m, k=k).collect()
+    }
+    assert got == exp
+    assert all(got[key] for key in build)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6).map(lambda v: v / 3.0),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_buckets=st.sampled_from([1, 3, 1024]),
+)
+def test_pr_curve_matches_python_property(rows, n_buckets):
+    """Exact tp/fp/fn and ratios at every distinct threshold, for any
+    tie structure and any bucketing resolution."""
+    from webdq import evaluation
+
+    spark = _get_spark()
+    if not any(y for _, y in rows):
+        rows = rows + [(0.5, True)]  # need P > 0 for recall
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    P = sum(1 for _, y in rows if y)
+    exp = {}
+    for t in sorted({s for s, _ in rows}, reverse=True):
+        tp = sum(1 for s, y in rows if s >= t and y)
+        fp = sum(1 for s, y in rows if s >= t and not y)
+        exp[t] = (tp, fp, P - tp, tp / (tp + fp), tp / P)
+    got = {
+        r["threshold"]: (r["tp"], r["fp"], r["fn"], r["prec"], r["rec"])
+        for r in evaluation.pr_curve(df, n_buckets=n_buckets).collect()
+    }
+    assert got == exp
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=24), min_size=1, max_size=12
+    )
+)
+def test_dsir_target_equals_raw_zero_property(texts):
+    """With target == raw every bucket weight is the difference of the
+    SAME double, so every document scores exactly 0.0 — for any corpus."""
+    from webdq import dsir
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    kw = dict(dim=32, ngram_ns=(1, 2), portable=True)
+    c = dsir.ngram_bucket_counts(df, **kw)
+    out = dsir.dsir_score(c, dsir.fit_log_ratio(c, c, dim=32)).collect()
+    assert all(r["dsir_score"] == 0.0 for r in out)
