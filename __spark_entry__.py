@@ -3781,6 +3781,34 @@ def q100_bpe_merges(spark, sf_dir):
     return mdf.crossJoin(F.broadcast(summary)).orderBy("rank")
 
 
+def q101_bpe_pair_stats(spark, sf_dir):
+    """Adjacent-pair statistics (textprep.bpe_pair_stats): the top-10
+    frequency-weighted adjacent character pairs — q100's first-
+    iteration argmax table, value-checked here because the ITERATION
+    can't be (rows-only q100). DuckDB rebuilds the character pairs via
+    substr (RE2 has no lookahead, so it can't replay the split
+    pattern — substr over 1..len-1 is the equivalent)."""
+    from webdq import textprep
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return textprep.bpe_pair_stats(d, top_k=10)
+
+
+SQL_101 = r"""
+WITH w AS (SELECT regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS arr
+           FROM documents),
+ wd AS (SELECT unnest(arr) AS word FROM w),
+ wf AS (SELECT word, count(*) AS cnt FROM wd WHERE word <> '' GROUP BY word),
+ p AS (SELECT substr(word, i, 1) AS lsym, substr(word, i + 1, 1) AS rsym, cnt
+       FROM (SELECT word, cnt, unnest(range(1, len(word))) AS i
+             FROM wf WHERE len(word) >= 2)),
+ a AS (SELECT lsym, rsym, CAST(sum(cnt) AS BIGINT) AS pair_count
+       FROM p GROUP BY lsym, rsym)
+SELECT lsym, rsym, pair_count FROM a
+ORDER BY pair_count DESC, lsym, rsym LIMIT 10
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # q00b holds the flagship's window slot (VERDICT r5 #3): the same
     # feature→normalize→project→assign→label chain, value-exact via the
@@ -3897,6 +3925,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_snapshot_diff": q98_snapshot_diff,
     "q99_filter_agreement": q99_filter_agreement,
     "q100_bpe_merges": q100_bpe_merges,
+    "q101_bpe_pair_stats": q101_bpe_pair_stats,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3997,6 +4026,7 @@ _ORACLES: dict[str, str] = {
     "q97_average_precision": SQL_97,
     "q98_snapshot_diff": SQL_98,
     "q99_filter_agreement": SQL_99,
+    "q101_bpe_pair_stats": SQL_101,
 }
 
 

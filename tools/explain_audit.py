@@ -213,6 +213,11 @@ CHECKS = {
     # combined aggregate over a single scan — no join, no shuffle
     # beyond the final 1-row exchange, scan pruned to text alone
     "q99_filter_agreement": ["partial_", "!Join", "ReadSchema: struct<text:string>"],
+    # BPE pair stats: two map-side-combined aggregations (word types,
+    # then pairs) ending in a TopK — never a full global sort; the
+    # scan prunes to text alone
+    "q101_bpe_pair_stats": ["partial_", "TakeOrderedAndProject",
+                            "ReadSchema: struct<text:string>"],
     # CCNet head/middle/tail: the per-language ntile is ONE window over
     # an Exchange hashpartitioning(lang) — never a single-partition
     # global sort; upstream LM stats stay map-side combined and native

@@ -633,3 +633,36 @@ def apply_bpe(
             F.sum(F.col("n_occ") * F.col("_wt")).cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 10,
+) -> DataFrame:
+    """(lsym, rsym, pair_count) — the top-k adjacent character pairs
+    weighted by word frequency: exactly ``learn_bpe``'s first-
+    iteration argmax table, exposed so the corpus-scale aggregation
+    core of the merge loop is value-checkable by an external engine
+    (the loop itself is iterative and rows-only — q100). Total
+    ordering (count desc, lsym, rsym) makes the top-k deterministic."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    words = _word_table(df, text_col).withColumn(
+        "syms", F.split("word", r"(?!^)(?=.)")
+    )
+    return (
+        words.select(
+            "cnt",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(syms, 1, size(syms) - 1)").alias("l"),
+                    F.expr("slice(syms, 2, size(syms) - 1)").alias("r"),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("lsym"), F.col("p.r").alias("rsym"))
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("lsym"), F.asc("rsym"))
+        .limit(int(top_k))
+    )
