@@ -21,6 +21,11 @@ Counts are integers (exact in any engine); precision/recall are single
 IEEE divisions of those integers — value-exact cross-engine with no
 rounding contract needed. Average precision is a float sum over
 threshold order (round before cross-engine comparison).
+
+Reference analog: none — the reference's evaluation is unsupervised
+(silhouette/elbow, /root/reference/osmdq/unsupervised_learning.py);
+PR calibration is the supervised-web-filter extension, from public
+literature (step-rule AP as in sklearn's documentation).
 """
 
 from __future__ import annotations
