@@ -513,3 +513,53 @@ def test_dsir_target_equals_raw_zero_property(texts):
     c = dsir.ngram_bucket_counts(df, **kw)
     out = dsir.dsir_score(c, dsir.fit_log_ratio(c, c, dim=32)).collect()
     assert all(r["dsir_score"] == 0.0 for r in out)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc d", min_size=0, max_size=20), min_size=1, max_size=10
+    ),
+    n_merges=st.integers(min_value=1, max_value=5),
+)
+def test_learn_bpe_matches_python_property(texts, n_merges):
+    """Full merge-list equality vs the pure-python reference on random
+    corpora — pair counting, tie-breaks, greedy-overlap semantics, and
+    early stopping all at once."""
+    from collections import Counter
+
+    from webdq import textprep
+
+    spark = _get_spark()
+
+    def merge_word(s, a, b):
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    wc = Counter(w for t in texts for w in t.split())
+    syms = {w: list(w) for w in wc}
+    exp = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, c in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if cnt < 2:
+            break
+        exp.append((a, b, cnt))
+        for w in syms:
+            syms[w] = merge_word(syms[w], a, b)
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    assert textprep.learn_bpe(df, n_merges) == exp
