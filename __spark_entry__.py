@@ -3809,6 +3809,36 @@ ORDER BY pair_count DESC, lsym, rsym LIMIT 10
 """
 
 
+def q102_warc_roundtrip(spark, sf_dir):
+    """WARC source/sink roundtrip (webdq.warc — ISO 28500, the
+    CommonCrawl interchange format): documents → multi-record WARC/1.0
+    shard blobs (byte-accurate Content-Length, CRLF framing) → byte-
+    offset chunk-walk parse → per-record (uri, type, byte length,
+    payload md5). The oracle recomputes every field from the original
+    table — writer and parser must cancel exactly for the hash to
+    match (the q37/q80 chain-oracle pattern)."""
+    from webdq import warc
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    shards = warc.warc_shards_from_documents(d, n_shards=8)
+    rec = warc.parse_warc(shards)
+    return rec.select(
+        "uri",
+        "rec_type",
+        "n_bytes",
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
+SQL_102 = """
+SELECT 'https://' || source || '/' || doc_id AS uri,
+       'response' AS rec_type,
+       CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+       md5(coalesce(text, '')) AS payload_md5
+FROM documents
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # q00b holds the flagship's window slot (VERDICT r5 #3): the same
     # feature→normalize→project→assign→label chain, value-exact via the
@@ -3926,6 +3956,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_filter_agreement": q99_filter_agreement,
     "q100_bpe_merges": q100_bpe_merges,
     "q101_bpe_pair_stats": q101_bpe_pair_stats,
+    "q102_warc_roundtrip": q102_warc_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4027,6 +4058,7 @@ _ORACLES: dict[str, str] = {
     "q98_snapshot_diff": SQL_98,
     "q99_filter_agreement": SQL_99,
     "q101_bpe_pair_stats": SQL_101,
+    "q102_warc_roundtrip": SQL_102,
 }
 
 

@@ -218,6 +218,11 @@ CHECKS = {
     # scan prunes to text alone
     "q101_bpe_pair_stats": ["partial_", "TakeOrderedAndProject",
                             "ReadSchema: struct<text:string>"],
+    # WARC roundtrip: assembly is native expressions + one grouped
+    # ordered collect per shard; the parse side is a single Arrow
+    # MapInPandas walk; the scan prunes to the three used columns
+    "q102_warc_roundtrip": ["MapInPandas", "partial_",
+                            "ReadSchema: struct<doc_id:bigint,text:string,source:string>"],
     # CCNet head/middle/tail: the per-language ntile is ONE window over
     # an Exchange hashpartitioning(lang) — never a single-partition
     # global sort; upstream LM stats stay map-side combined and native
