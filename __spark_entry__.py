@@ -32,8 +32,19 @@ from webdq.pipeline import PipelineConfig, run_pipeline
 from webdq.synth import pages_from_documents
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = True) -> DataFrame:
+    """Read a testdata table. ``spread`` guards against under-split
+    inputs (storage.spread_scan): the driver parquet files are single
+    row groups, so without it every scan+map stage runs on 1-2 tasks
+    no matter the core count. Queries whose audited contract is
+    zero-Exchange per-document algebra opt out (the operator itself
+    stays shuffle-free; at real scale the scan splits on its own)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        from webdq.storage import spread_scan
+
+        df = spread_scan(df)
+    return df
 
 
 def _us(col) -> F.Column:
@@ -1445,7 +1456,7 @@ def q50_chunking(spark, sf_dir):
     from webdq import textprep
 
     return textprep.chunk_documents(
-        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+        _t(spark, sf_dir, "documents", spread=False), chunk_tokens=32, overlap=8
     )
 
 
@@ -1469,7 +1480,7 @@ def q51_repetition_removal(spark, sf_dir):
     comprehension."""
     from webdq import textprep
 
-    return textprep.dedup_consecutive_tokens(_t(spark, sf_dir, "documents"))
+    return textprep.dedup_consecutive_tokens(_t(spark, sf_dir, "documents", spread=False))
 
 
 SQL_51 = r"""
@@ -1488,7 +1499,7 @@ def q52_token_counts(spark, sf_dir):
     regex and RE2 share leftmost-first alternation semantics."""
     from webdq import textprep
 
-    return textprep.token_counts(_t(spark, sf_dir, "documents"))
+    return textprep.token_counts(_t(spark, sf_dir, "documents", spread=False))
 
 
 def _sql_52():
@@ -1605,7 +1616,7 @@ def q56_gopher_repetition(spark, sf_dir):
     grouping + argmax with list comprehensions."""
     from webdq import textprep
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t(spark, sf_dir, "documents", spread=False).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
     )
     nlines = F.ceil(F.size("_toks") / F.lit(2.0)).cast("int")
@@ -1934,7 +1945,7 @@ def q64_url_filter(spark, sf_dir):
     from webdq import urlfilter
     from webdq.synth import pages_from_documents
 
-    pages = pages_from_documents(spark, sf_dir).select("url")
+    pages = pages_from_documents(spark, sf_dir, spread=False).select("url")
     out = urlfilter.apply_url_filters(
         pages,
         blocklist=["src3.example", "src7.example", "src12.example"],
@@ -3190,7 +3201,7 @@ def q88_canonical_url(spark, sf_dir):
             scheme, F.lit("://"), host, port, F.lit("/D/"), did.cast("string"), q, frag
         )
     )
-    d = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    d = _t(spark, sf_dir, "documents", spread=False).select("doc_id", url.alias("url"))
     return urlfilter.canonicalize_urls(d).select("doc_id", "url", "canonical_url")
 
 

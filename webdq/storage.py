@@ -55,3 +55,29 @@ def write_bucketed(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Restore scan-side parallelism for under-split inputs.
+
+    An unsplittable or under-split input — a single-row-group parquet
+    file, a gzip text shard, one giant file — yields fewer scan
+    partitions than the session has cores, so every per-row operator
+    downstream (shingle explode + hashing, Arrow UDF scoring, cosine
+    arithmetic) runs on a handful of tasks regardless of cluster
+    width (the optimization guide's "input skew" case, §2.5). A
+    round-robin repartition to the session's default parallelism costs
+    one shuffle of the base rows (small: the rows have not been
+    exploded/derived yet) and makes the map side use every core.
+
+    Scale-adaptive by construction: the condition reads the ACTUAL
+    physical scan partitioning, so a real corpus scan (thousands of
+    splits) is untouched and pays nothing — this is a mitigation for
+    degenerate inputs, not a constant tuned to any fixture or core
+    count.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -142,10 +142,19 @@ def generate_pages(
     )
 
 
-def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pages_from_documents(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     """Adapt the driver's documents.parquet into the pages shape so the
-    same pipeline runs over driver testdata (TESTDATA.md)."""
+    same pipeline runs over driver testdata (TESTDATA.md).
+
+    ``spread`` redistributes the under-split single-row-group driver
+    parquet across the session's cores (storage.spread_scan) so the
+    downstream Arrow scorers and feature extraction parallelize;
+    zero-shuffle contract queries opt out."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if spread:
+        from webdq.storage import spread_scan
+
+        d = spread_scan(d)
     return d.select(
         F.concat(F.lit("https://"), F.col("source"), F.lit(".example/d/"), F.col("doc_id").cast("string")).alias("url"),
         F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("warc_ts"),
