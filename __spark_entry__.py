@@ -32,13 +32,17 @@ from webdq.pipeline import PipelineConfig, run_pipeline
 from webdq.synth import pages_from_documents
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = True) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
     """Read a testdata table. ``spread`` guards against under-split
     inputs (storage.spread_scan): the driver parquet files are single
     row groups, so without it every scan+map stage runs on 1-2 tasks
-    no matter the core count. Queries whose audited contract is
-    zero-Exchange per-document algebra opt out (the operator itself
-    stays shuffle-free; at real scale the scan splits on its own)."""
+    no matter the core count. Opt-IN per query: spreading pays exactly
+    when per-row derived work (shingle explode + hashing, Arrow UDFs,
+    vector arithmetic) dominates one extra pass of the base rows;
+    single-light-pass relational/projection queries would only double
+    their byte movement (measured: q44 47.6s->1.9s with spread,
+    q05/q12/q25 0.5-1.5s SLOWER with it), and zero-Exchange contract
+    queries (q50/q51/q52/q56/q64/q88) must keep shuffle-free plans."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if spread:
         from webdq.storage import spread_scan
@@ -951,7 +955,7 @@ FROM documents
 def q27_langid(spark, sf_dir):
     from webdq.scorers import langid_udf
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     s = langid_udf(F.col("text"))
     return d.select(
         "doc_id",
@@ -1010,7 +1014,9 @@ def q29_minhash_lsh_pairs(spark, sf_dir):
     shared vocabulary (unigram signatures pair ~95% of this corpus)."""
     from webdq import dedup
 
-    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n_bands=4, max_bucket=1000, shingle_n=3)
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents", spread=True), n_bands=4, max_bucket=1000, shingle_n=3
+    )
 
 
 SQL_29 = r"""
@@ -1107,7 +1113,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 def q33_ann_topk(spark, sf_dir):
     from webdq import similarity
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     return similarity.cosine_topk(e, q, k=3)
 
@@ -1416,7 +1422,7 @@ def q44_minhash_banded(spark, sf_dir):
     from webdq import dedup
 
     return dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), n_bands=4, max_bucket=1000, shingle_n=3, rows_per_band=2
+        _t(spark, sf_dir, "documents", spread=True), n_bands=4, max_bucket=1000, shingle_n=3, rows_per_band=2
     )
 
 

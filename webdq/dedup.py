@@ -144,15 +144,28 @@ def minhash_lsh_pairs(
     bucket. Buckets larger than ``max_bucket`` are dropped (a bucket of
     b docs yields b² pairs — at web scale a stopword-like bucket would
     dominate the join; the cap is the standard LSH skew guard).
-    ``rows_per_band`` tunes precision (see minhash_signatures)."""
+    ``rows_per_band`` tunes precision (see minhash_signatures).
+
+    Shape (r7): ONE groupBy per (band, minhash) into a bounded sorted
+    id array (≤ max_bucket elements — the cap is exactly the state
+    bound), then in-bucket pair generation as two codegen Generates
+    (posexplode + slice-explode of the strictly-greater suffix, so
+    id1 < id2 by construction). The earlier self-join form computed
+    the ENTIRE signature pipeline twice (probe + broadcast build, no
+    exchange reuse) and paid a window sort for the bucket-count cap;
+    this computes signatures once, needs no window and no join, and
+    shuffles each signature row exactly once. Measured at the 50k-doc
+    sf1.0 fixture: q29 7.1 s → see BENCH.md (same pair set, oracle
+    SQL unchanged)."""
     sig = minhash_signatures(df, id_col, text_col, n_bands, shingle_n, rows_per_band)
-    cnt = Window.partitionBy("band", "minhash")
-    sig = sig.withColumn("_n", F.count(F.lit(1)).over(cnt)).filter(F.col("_n") <= max_bucket).drop("_n")
-    a = sig.alias("a")
-    b = sig.alias("b")
+    buckets = (
+        sig.groupBy("band", "minhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.minhash") == F.col("b.minhash")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        buckets.select(F.posexplode("_ids").alias("_i", "id1"), "_ids")
+        .select("id1", F.explode(F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))).alias("id2"))
         .dropDuplicates()
     )
 

@@ -148,8 +148,10 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, spread: bool = True) 
 
     ``spread`` redistributes the under-split single-row-group driver
     parquet across the session's cores (storage.spread_scan) so the
-    downstream Arrow scorers and feature extraction parallelize;
-    zero-shuffle contract queries opt out."""
+    downstream Arrow scorers and feature extraction parallelize (the
+    pipeline makes several heavy passes over pages, so the one-time
+    base-row shuffle amortizes); zero-shuffle contract queries opt
+    out."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if spread:
         from webdq.storage import spread_scan
