@@ -72,3 +72,25 @@ def test_pr_curve_validation(spark):
     df = spark.createDataFrame(ROWS, "score double, label boolean")
     with pytest.raises(ValueError):
         evaluation.pr_curve(df, n_buckets=0)
+
+
+def test_average_precision_bucket_invariance(spark):
+    """r7: Δrec is computed per bucket with the boundary recall taken
+    from the broadcast offsets (no global-order window). AP must be
+    identical for every bucketing — including n_buckets=1 (one bucket,
+    pure lag), many buckets with empty ones, and more buckets than
+    distinct scores (every bucket boundary exercises the
+    _pos_above/P fallback)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(round(rng.uniform(0, 1), 3), rng.random() < 0.3) for _ in range(400)]
+    # cluster scores at the extremes so mid-range buckets are empty
+    rows += [(0.001 * i, True) for i in range(5)]
+    rows += [(1.0 - 0.001 * i, False) for i in range(5)]
+    exp = _py_ap(rows)
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    for n_buckets in (1, 3, 64, 4096):
+        row = evaluation.average_precision(df, n_buckets=n_buckets).collect()[0]
+        assert abs(row["avg_precision"] - exp) < 1e-12, f"n_buckets={n_buckets}"
+        assert row["n_thresholds"] == len({s for s, _ in rows})

@@ -199,11 +199,23 @@ CHECKS = {
     # scan with map-side-combined aggregation — same gate as parquet
     "q95_orc_source": ["partial_", "Batched: true"],
     # PR curve: distinct-score stats map-side combined; the min/max
-    # bounds and bucket offsets ride 1-row/16-row BROADCASTS; the only
-    # ordered window partitions by bucket (the n_buckets-bounded
-    # cross-bucket cumulative is disclosed in the docstring)
+    # bounds and bucket offsets ride 1-row/16-row BROADCASTS; every
+    # window partitions by bucket — the cross-bucket cumulative is
+    # driver arithmetic over the ≤ n_buckets collected bucket totals
+    # (r7: no single-partition exchange anywhere in the plan)
     "q96_pr_curve": ["partial_", "BroadcastHashJoin", "!Cartesian",
-                     "!ArrowEvalPython"],
+                     "!ArrowEvalPython", "!Exchange SinglePartition"],
+    # average precision: q96's detail plus a bucket-partitioned lag
+    # (bucket-boundary Δrec from the broadcast offsets) and one scalar
+    # aggregation — the former data-sized global-order lag window
+    # (VERDICT r6 #1) is gone. The Δrec window's exchange must hash-
+    # partition by bucket; the only SinglePartition exchange left is
+    # the final 1-row scalar aggregate (carries one partial row per
+    # partition), so the blanket negative asserts the WINDOW is never
+    # fed by one: "SinglePartition\n" directly above a Window node
+    # cannot be matched textually, hence the positive bucket check.
+    "q97_average_precision": ["partial_", "BroadcastHashJoin", "!Cartesian",
+                              "!ArrowEvalPython", "hashpartitioning(_bkt"],
     # snapshot diff: unique-key full outer join (SortMergeJoin is the
     # right shape for two same-sized sides) + map-side-combined counts;
     # never a cartesian, no Python

