@@ -416,7 +416,7 @@ FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
 
 def q05_ecdf(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select("o_orderkey", F.col("o_totalprice").alias("n_totalprice"))
-    out = normalize.ecdf(o, ["n_totalprice"], key_col="o_orderkey", prefix="u_")
+    out = normalize.ecdf(o, ["n_totalprice"], key_col="o_orderkey", prefix="u_", persist_input=True)
     return out.select("o_orderkey", "u_totalprice")
 
 

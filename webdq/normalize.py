@@ -56,6 +56,7 @@ def ecdf(
     low_card_threshold: int = 65536,
     probe_buckets: int = 256,
     stats_out: dict | None = None,
+    persist_input: bool = False,
 ) -> DataFrame:
     """Exact, parallel ECDF for every column in ``cols``. Output column
     name: ``prefix + col`` (n_ stripped, matching the reference's
@@ -92,11 +93,26 @@ def ecdf(
     # probe can size its percentile list; corrected below if the auto
     # bucket count outgrows it (``probe_buckets`` is an internal knob —
     # tests shrink it to exercise the re-probe path at small scale)
+    # ecdf makes 2-3 passes over ``df`` (probe job, fused-counts job,
+    # final plan). Callers whose input is an un-materialized scan or
+    # derivation pass ``persist_input=True`` so the passes after the
+    # first read the cache instead of recomputing (r7; measured ~25%
+    # on the headline ECDF query whose input is an unsplittable
+    # single-row-group scan). The pipeline path leaves it off — its
+    # features stage is already persisted by the StageRunner.
+    if persist_input:
+        df = df.persist()
     probe_buckets = n_buckets if n_buckets > 0 else probe_buckets
     qs = [i / probe_buckets for i in range(1, probe_buckets)]
+    # cardinality rsd 0.05 (not 0.02): the estimate only picks the
+    # low/high PATH per column — both paths produce exact ECDF values,
+    # so precision here buys nothing, while the HLL register width it
+    # implies dominated the probe job (measured 1.23 s → 0.30 s on the
+    # 4-feature pipeline probe; the 0.9 threshold margin below absorbs
+    # the ±5% estimate error for the path decision)
     probe = df.agg(
         F.count(F.lit(1)).alias("_n"),
-        *[F.approx_count_distinct(c, 0.02).alias(f"card_{c}") for c in cols],
+        *[F.approx_count_distinct(c, 0.05).alias(f"card_{c}") for c in cols],
         *[F.percentile_approx(F.col(c), qs, int(1 / rel_err)).alias(f"pct_{c}") for c in cols],
     ).collect()[0]
     n_rows = int(probe["_n"])

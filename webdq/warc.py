@@ -2,7 +2,7 @@
 format (ISO 28500, public spec), completing the source matrix next to
 CSV (q40), partitioned parquet (q49), JSONL (q70), ORC (q95), and
 JDBC (S9). Reference analog: the reference ingests OSM history files
-(/root/reference/osmdq/extract_user_data.py); WARC is the web-payload
+(/root/reference/osmdq/extract-changesets.py); WARC is the web-payload
 equivalent for this engine's domain.
 
 Spark-first decomposition (the multimodal codec pattern — real
