@@ -1366,7 +1366,11 @@ def q42_host_agg(spark, sf_dir):
     from webdq.pipeline import PipelineConfig, extract_features
     from webdq.synth import pages_from_documents
 
-    pages = pages_from_documents(spark, sf_dir)
+    # spread=False: host_metadata prunes the heavy scorer UDFs out of
+    # extract_features (only n_words/warc_ts/host survive pruning), so
+    # the per-row work is light and the spread shuffle is a measured
+    # small net loss here (0.66 vs 0.89 s warm at sf1.0)
+    pages = pages_from_documents(spark, sf_dir, spread=False)
     h = hostagg.host_metadata(extract_features(pages, PipelineConfig()))
     return h.select(
         "host",
@@ -3543,12 +3547,19 @@ def q95_orc_source(spark, sf_dir):
     with an EXPLICIT schema → aggregate. The scan column-prunes below
     the declared schema exactly like parquet (plan-audited); the
     oracle reads the original parquet, value-checking the roundtrip."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
+    # pid-scoped stage root, reaped at process exit (ADVICE r6: the
+    # returned DataFrame reads the stage lazily, so an eager unlink
+    # here would race the caller's action — atexit is the earliest
+    # safe point; repeated runs in one process reuse the same root)
+    stage_root = os.path.join(tempfile.gettempdir(), f"webdq_orc_stage_{os.getpid()}")
+    atexit.register(shutil.rmtree, stage_root, ignore_errors=True)
     stage = os.path.join(
-        tempfile.gettempdir(),
-        f"webdq_orc_stage_{os.getpid()}",
+        stage_root,
         os.path.basename(sf_dir.rstrip("/")),
         "documents",
     )

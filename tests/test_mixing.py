@@ -361,3 +361,21 @@ def test_temperature_mix_exact_counts_and_selection(spark):
         mixing.temperature_mix(df, ["stratum"], scale=0.0)
     with pytest.raises(ValueError):
         mixing.temperature_mix(df, ["missing"], tau=0.5)
+
+
+def test_temperature_mix_null_stratum(spark):
+    """r6 advice: a NULL stratum value is a stratum like any other —
+    counted, rated at its own n^tau, and present in the output (the
+    old equi-join silently dropped it)."""
+    from webdq import mixing
+
+    rows = [(i, "a" if i < 16 else None) for i in range(32)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = mixing.temperature_mix(df, ["src"], tau=0.5, count_col="n").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["src"], []).append(r)
+    # ceil(sqrt(16)) = 4 kept per stratum, INCLUDING the null stratum
+    assert len(by.get("a", [])) == 4
+    assert len(by.get(None, [])) == 4
+    assert all(r["n"] == 16 for r in out)

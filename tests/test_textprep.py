@@ -515,3 +515,19 @@ def test_learn_bpe_incremental_path_parity(spark):
     # early stop: single word, one merge possible at min_pair_count=2
     one = spark.createDataFrame([("xy xy",)], "text string")
     assert textprep.learn_bpe(one, 5, incremental_threshold=0) == textprep.learn_bpe(one, 5)
+
+
+def test_bigram_lm_degenerate_model_null_scores(spark):
+    """r6 advice: an empty/whitespace model corpus (V=0) must yield
+    NULL scores, not silently-propagating +Inf."""
+    import math
+
+    docs = spark.createDataFrame([(1, "a b c"), (2, "x y")], "doc_id long, text string")
+    model = spark.createDataFrame([(9, "   "), (10, "")], "doc_id long, text string")
+    out = textprep.bigram_lm_score(docs, model_df=model).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["avg_logprob"] is None, r
+    # sane model still scores finitely
+    ok = textprep.bigram_lm_score(docs, model_df=docs).collect()
+    assert all(r["avg_logprob"] is not None and math.isfinite(r["avg_logprob"]) for r in ok)

@@ -342,10 +342,13 @@ def temperature_mix(
 
     Scale shape: one map-side-combined groupBy for the stratum counts
     (strata are few — sources × languages — the count table
-    broadcasts), one broadcast join, one per-stratum window for the
-    md5 rank. A hostile stratum makes the window a straggler; at
-    10^12 docs pre-truncate with the host_quota two-stage salted TopK
-    (exactness argument is identical)."""
+    broadcasts), one NULL-SAFE broadcast join (a null stratum value is
+    a stratum like any other, sampled at its own n^tau rate — r6
+    advice: the earlier equi-join silently dropped it), one
+    per-stratum window for the md5 rank. A hostile stratum makes the
+    window a straggler; at 10^12 docs pre-truncate with the
+    host_quota two-stage salted TopK (exactness argument is
+    identical)."""
     if tau < 0:
         raise ValueError(f"tau must be >= 0, got {tau}")
     if scale <= 0:
@@ -368,8 +371,21 @@ def temperature_mix(
     w = Window.partitionBy(*strata_cols).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
+    # null-SAFE equi-join (ADVICE r6): a NULL stratum value is counted
+    # by the groupBy above, and must be sampled like any other stratum
+    # — a plain equi-join would silently drop the whole null stratum
+    # from the output. Right-side strata columns are aliased away and
+    # dropped after the join so the output schema is unchanged.
+    keep_aliased = keep.select(
+        *[F.col(c).alias(f"_ks_{i}") for i, c in enumerate(strata_cols)], "_n", "_keep"
+    )
+    cond = None
+    for i, c in enumerate(strata_cols):
+        clause = df[c].eqNullSafe(keep_aliased[f"_ks_{i}"])
+        cond = clause if cond is None else (cond & clause)
     out = (
-        df.join(F.broadcast(keep), on=strata_cols, how="inner")
+        df.join(F.broadcast(keep_aliased), cond, "inner")
+        .drop(*[f"_ks_{i}" for i in range(len(strata_cols))])
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.col("_keep"))
         .drop("_rn", "_keep")

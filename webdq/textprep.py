@@ -406,9 +406,17 @@ def bigram_lm_score(
     )
     st = _transitions(df)
     k = F.lit(float(add_k))
-    logp = F.log(
-        (F.coalesce(F.col("_cb"), F.lit(0)) + k)
-        / (F.coalesce(F.col("_cc"), F.lit(0)) + k * F.col("_v"))
+    # degenerate-model guard (ADVICE r6): an empty/whitespace-only
+    # model corpus has V = 0, making the smoothed denominator 0 and
+    # every logp +Inf — silently propagating Inf scores. The when()
+    # guard (the contamination_score 0-denominator pattern) yields
+    # NULL scores instead: an explicit "no model" signal.
+    logp = F.when(
+        F.col("_v") > 0,
+        F.log(
+            (F.coalesce(F.col("_cb"), F.lit(0)) + k)
+            / (F.coalesce(F.col("_cc"), F.lit(0)) + k * F.col("_v"))
+        ),
     )
     scored = (
         st.join(big, ["_prev", "_cur"], "left")
