@@ -57,7 +57,7 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
-def spread_scan(df: DataFrame) -> DataFrame:
+def spread_scan(df: DataFrame, min_split_bytes: int | None = None) -> DataFrame:
     """Restore scan-side parallelism for under-split inputs.
 
     An unsplittable or under-split input — a single-row-group parquet
@@ -75,9 +75,31 @@ def spread_scan(df: DataFrame) -> DataFrame:
     splits) is untouched and pays nothing — this is a mitigation for
     degenerate inputs, not a constant tuned to any fixture or core
     count.
+
+    ``min_split_bytes`` optionally caps the spread width by the
+    scanned file bytes (target ≤ bytes / min_split_bytes): operators
+    that run MANY short jobs over the spread frame (the pipeline's
+    probe/fit/Lloyd sequence) pay per-job scheduling for every
+    partition, so shredding a small input to full core width makes
+    the latency-bound regime strictly worse (measured: the sf0.1
+    pipeline reads ~6.8 s at a bytes-scaled width vs ~8.6 s at full
+    32-wide, identical at the 10× input). Compute-dense single-pass
+    operators (shingle hashing, cosine math) omit it and take the
+    full width.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if min_split_bytes:
+        try:
+            import os
+
+            total = sum(
+                os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+                for f in df.inputFiles()
+            )
+            target = max(1, min(target, int(total // int(min_split_bytes))))
+        except OSError:
+            pass
+    if 1 < target > df.rdd.getNumPartitions():
         return df.repartition(target)
     return df

@@ -156,7 +156,11 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, spread: bool = True) 
     if spread:
         from webdq.storage import spread_scan
 
-        d = spread_scan(d)
+        # bytes-scaled width: the pipeline runs ~20 short jobs over
+        # this frame (probe, fit, Lloyd iterations), so full core
+        # width on a tiny input costs more per-job scheduling than
+        # the parallelism returns (see spread_scan)
+        d = spread_scan(d, min_split_bytes=512 * 1024)
     return d.select(
         F.concat(F.lit("https://"), F.col("source"), F.lit(".example/d/"), F.col("doc_id").cast("string")).alias("url"),
         F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("warc_ts"),
