@@ -1103,7 +1103,12 @@ WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.05
 def q32_embedding_neardup(spark, sf_dir):
     from webdq import dedup
 
-    return dedup.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+    # dim=64 (the fixed fixture dimension, same contract as q36/q57):
+    # per-pair cosine takes cosine_col's codegen fold path —
+    # bitwise-identical values, no interpreted HOF on the pair join
+    return dedup.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, dim=64
+    )
 
 
 SQL_32 = """
@@ -1119,7 +1124,8 @@ def q33_ann_topk(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings", spread=True)
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.cosine_topk(e, q, k=3)
+    # dim=64: codegen fold cosine (bitwise-identical, see cosine_col)
+    return similarity.cosine_topk(e, q, k=3, dim=64)
 
 
 SQL_33 = """

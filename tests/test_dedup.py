@@ -513,3 +513,48 @@ def test_bloom_membership_matches_python(spark):
         bloom_build(bdf, "fp", m_bits=100)
     with pytest.raises(ValueError):
         bloom_build(bdf, "fp", m_bits=128, k=0)
+
+
+def test_cosine_col_fold_path_bitwise_parity(spark):
+    """cosine_col(dim=k) unrolls the HOF arithmetic as a codegen fold;
+    the doubles must be BIT-IDENTICAL to the interpreted HOF path
+    (same left-assoc accumulation from 0.0, same dot/(sqrt*sqrt)) —
+    the value-exact oracle queries (q32/q33/q36/q47/q57) rely on it."""
+    import math
+    import struct
+
+    rng = np.random.RandomState(11)
+    dim = 7
+    rows = []
+    for i in range(40):
+        v = rng.standard_normal(dim).astype(np.float32)
+        if i % 7 == 0:
+            v[: dim // 2] = 0.0  # zero runs → ±0.0 products
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, None))  # null vector → null cosine on both paths
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    a = df.select(F.col("id").alias("i"), F.col("v").alias("va"))
+    b = df.select(F.col("id").alias("j"), F.col("v").alias("vb"))
+    pairs = a.join(b).filter(F.col("i") < F.col("j"))
+    got = (
+        pairs.select(
+            "i",
+            "j",
+            dedup.cosine_col(F.col("va"), F.col("vb")).alias("hof"),
+            dedup.cosine_col(F.col("va"), F.col("vb"), dim=dim).alias("fold"),
+        )
+        .collect()
+    )
+    assert len(got) == 40 * 41 // 2
+    n_null = 0
+    for r in got:
+        if r["hof"] is None or r["fold"] is None:
+            assert r["hof"] is None and r["fold"] is None
+            n_null += 1
+            continue
+        if math.isnan(r["hof"]) or math.isnan(r["fold"]):
+            assert math.isnan(r["hof"]) and math.isnan(r["fold"])
+            continue
+        assert struct.pack("<d", r["hof"]) == struct.pack("<d", r["fold"]), (
+            r["i"], r["j"], r["hof"], r["fold"])
+    assert n_null == 40  # every pair with the null vector

@@ -58,6 +58,30 @@ def main() -> None:
                         arr = pa.chunked_array(
                             [pa.compute.add(c, k * OFF) for c in arr.chunks]
                         )
+                    elif name == "embeddings" and col == "embedding" and k > 0:
+                        # deterministic per-copy direction perturbation:
+                        # verbatim copies give every vector K exact
+                        # duplicates and inflate every LSH/grid bucket
+                        # density ~K² — the same artificial near-dup-
+                        # dense regime the r7 escalation note flags for
+                        # text. A fixed pseudo-noise per (copy, row,
+                        # dim) keeps the corpus isotropic-ish while
+                        # decorrelating copies.
+                        import numpy as np
+
+                        lists = arr.to_pylist()
+                        rng = np.random.RandomState(1000 + k)
+                        out = []
+                        for v in lists:
+                            if v is None:
+                                out.append(None)
+                                continue
+                            x = np.asarray(v, dtype=np.float32)
+                            x = x + rng.standard_normal(x.shape).astype(np.float32) * 1.4 * (
+                                float(np.linalg.norm(x)) / max(len(x) ** 0.5, 1.0)
+                            )
+                            out.append(x.tolist())
+                        arr = pa.array(out, type=base.schema.field(col).type)
                     elif name == "documents" and col == "text" and k > 0:
                         # suffix every token: copy k shares no shingle
                         # with copy 0 (pure-python; 5k docs per copy)

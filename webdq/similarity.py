@@ -42,15 +42,18 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine: (query_id, rank, neighbor_id, cosine).
-    Self-matches (same id) are excluded. Ties break on neighbor id."""
+    Self-matches (same id) are excluded. Ties break on neighbor id.
+    ``dim`` (fixed-dimension corpora) takes cosine_col's codegen fold
+    path — bitwise-identical scores, no interpreted HOF per pair."""
     q = queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("_qid"))
-        .withColumn("cosine", cosine_col(F.col("_cv"), F.col("_qv")))
+        .withColumn("cosine", cosine_col(F.col("_cv"), F.col("_qv"), dim=dim))
     )
     w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -128,7 +131,7 @@ def lsh_topk(
     cand = (
         c.join(q, join_keys)
         .filter(F.col("neighbor_id") != F.col("_qid"))
-        .withColumn("cosine", cosine_col(F.col("_cv"), F.col("_qv")))
+        .withColumn("cosine", cosine_col(F.col("_cv"), F.col("_qv"), dim=dim))
         .dropDuplicates(["_qid", "neighbor_id"])
     )
     w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -219,7 +222,11 @@ def ivf_topk(
     cand = (
         c.join(F.broadcast(q), "_list")
         .filter(F.col("neighbor_id") != F.col("_qid"))
-        .withColumn("cosine", cosine_col(F.col("_cv"), F.col("_qv")))
+        # centroids carry the fixed corpus dimension — fold path free
+        .withColumn(
+            "cosine",
+            cosine_col(F.col("_cv"), F.col("_qv"), dim=int(np.asarray(centroids).shape[1])),
+        )
         .dropDuplicates(["_qid", "neighbor_id"])
     )
     w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -264,7 +271,7 @@ def embedding_neardup_pairs_lsh(
     return (
         a.join(b, join_keys)
         .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cosine", _cos(F.col("_v1"), F.col("_v2")))
+        .withColumn("cosine", _cos(F.col("_v1"), F.col("_v2"), dim=dim))
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["id1", "id2"])
         .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
