@@ -1124,8 +1124,14 @@ def q33_ann_topk(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings", spread=True)
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    # dim=64: codegen fold cosine (bitwise-identical, see cosine_col)
-    return similarity.cosine_topk(e, q, k=3, dim=64)
+    # cosine_col fold path (dim=64) measured WORSE here at both bench
+    # scales (interleaved A/B: hof 0.46-0.78 s vs fold 1.18-1.96 s):
+    # the 64-dim fold inside this BroadcastHashJoin's consume method
+    # fails janino and pays a ~0.7 s failed-compile attempt per
+    # execution, which q33's ~1e5-pair refine cannot amortize (q32/q57
+    # amortize it across 1e7-1e8 pairs for 4.2-4.6x wins). The dim
+    # knob stays available for corpus sizes where the refine dominates.
+    return similarity.cosine_topk(e, q, k=3)
 
 
 SQL_33 = """
